@@ -1,0 +1,178 @@
+"""GGUF container reader.
+
+From-scratch, spec-conformant parser for GGUF v2/v3 files (header, typed KV
+metadata, tensor index, aligned data section), mmap-backed so multi-GB model
+files are paged lazily. This replaces the reference's use of llama.cpp's
+`gguf_init_from_file` / `llama_model_load_from_file`
+(/root/reference/inference/code/llama/Model.cpp:50-53,
+ /root/reference/inference/code/llama/ControlVector.cpp:24-59).
+"""
+
+from __future__ import annotations
+
+import mmap
+import os
+import struct
+from dataclasses import dataclass
+from typing import Any, BinaryIO
+
+import numpy as np
+
+from .constants import (
+    GGUF_DEFAULT_ALIGNMENT,
+    GGUF_MAGIC,
+    GGMLType,
+    GGUFValueType,
+    tensor_nbytes,
+)
+from . import quants
+
+_SCALAR_FMT = {
+    GGUFValueType.UINT8: "<B",
+    GGUFValueType.INT8: "<b",
+    GGUFValueType.UINT16: "<H",
+    GGUFValueType.INT16: "<h",
+    GGUFValueType.UINT32: "<I",
+    GGUFValueType.INT32: "<i",
+    GGUFValueType.FLOAT32: "<f",
+    GGUFValueType.UINT64: "<Q",
+    GGUFValueType.INT64: "<q",
+    GGUFValueType.FLOAT64: "<d",
+}
+
+
+@dataclass(frozen=True)
+class TensorInfo:
+    name: str
+    ne: tuple[int, ...]        # ggml dims, ne[0] contiguous
+    ggml_type: GGMLType
+    offset: int                # relative to data section start
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        """numpy (row-major) shape: reversed ggml dims."""
+        return tuple(reversed(self.ne))
+
+    @property
+    def n_elements(self) -> int:
+        n = 1
+        for d in self.ne:
+            n *= d
+        return n
+
+    @property
+    def nbytes(self) -> int:
+        return tensor_nbytes(self.ne, self.ggml_type)
+
+
+class _Cursor:
+    def __init__(self, buf, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos: self.pos + n]
+        if len(b) != n:
+            raise EOFError("truncated GGUF file")
+        self.pos += n
+        return bytes(b)
+
+    def unpack(self, fmt: str):
+        size = struct.calcsize(fmt)
+        return struct.unpack(fmt, self.read(size))[0]
+
+
+class GGUFReader:
+    """Parsed GGUF file: `.metadata` dict, `.tensors` index, raw/float access."""
+
+    def __init__(self, path: str | os.PathLike):
+        self.path = os.fspath(path)
+        self._file: BinaryIO = open(self.path, "rb")
+        try:
+            self._mm = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        except ValueError:  # empty file
+            raise ValueError(f"not a GGUF file: {self.path}") from None
+        cur = _Cursor(self._mm)
+        magic = cur.unpack("<I")
+        if magic != GGUF_MAGIC:
+            raise ValueError(f"bad GGUF magic in {self.path}: 0x{magic:08x}")
+        self.version = cur.unpack("<I")
+        if self.version not in (2, 3):
+            raise ValueError(f"unsupported GGUF version {self.version}")
+        n_tensors = cur.unpack("<Q")
+        n_kv = cur.unpack("<Q")
+
+        self.metadata: dict[str, Any] = {}
+        for _ in range(n_kv):
+            key = self._read_string(cur)
+            vtype = GGUFValueType(cur.unpack("<I"))
+            self.metadata[key] = self._read_value(cur, vtype)
+
+        self.alignment = int(self.metadata.get("general.alignment", GGUF_DEFAULT_ALIGNMENT))
+
+        self.tensors: dict[str, TensorInfo] = {}
+        self._tensor_order: list[str] = []
+        for _ in range(n_tensors):
+            name = self._read_string(cur)
+            n_dims = cur.unpack("<I")
+            ne = tuple(cur.unpack("<Q") for _ in range(n_dims))
+            ggml_type = GGMLType(cur.unpack("<I"))
+            offset = cur.unpack("<Q")
+            self.tensors[name] = TensorInfo(name, ne, ggml_type, offset)
+            self._tensor_order.append(name)
+
+        pad = -cur.pos % self.alignment
+        self.data_start = cur.pos + pad
+
+    # -- value parsing ------------------------------------------------------
+
+    def _read_string(self, cur: _Cursor) -> str:
+        n = cur.unpack("<Q")
+        return cur.read(n).decode("utf-8", errors="replace")
+
+    def _read_value(self, cur: _Cursor, vtype: GGUFValueType):
+        if vtype == GGUFValueType.STRING:
+            return self._read_string(cur)
+        if vtype == GGUFValueType.BOOL:
+            return bool(cur.unpack("<B"))
+        if vtype == GGUFValueType.ARRAY:
+            etype = GGUFValueType(cur.unpack("<I"))
+            count = cur.unpack("<Q")
+            if etype in _SCALAR_FMT and etype != GGUFValueType.BOOL:
+                fmt = _SCALAR_FMT[etype]
+                itemsize = struct.calcsize(fmt)
+                raw = cur.read(itemsize * count)
+                arr = np.frombuffer(raw, dtype=np.dtype(fmt[1]).newbyteorder("<"))
+                if etype in (GGUFValueType.FLOAT32, GGUFValueType.FLOAT64):
+                    return arr.astype(np.float64 if etype == GGUFValueType.FLOAT64 else np.float32)
+                return arr.tolist() if count < (1 << 22) else arr
+            return [self._read_value(cur, etype) for _ in range(count)]
+        fmt = _SCALAR_FMT[vtype]
+        return cur.unpack(fmt)
+
+    # -- tensor access ------------------------------------------------------
+
+    def tensor_bytes(self, name: str) -> np.ndarray:
+        """Raw packed bytes of tensor `name` as a uint8 view into the mmap."""
+        info = self.tensors[name]
+        start = self.data_start + info.offset
+        return np.frombuffer(self._mm, dtype=np.uint8, count=info.nbytes, offset=start)
+
+    def tensor_float(self, name: str, dtype=np.float32) -> np.ndarray:
+        """Dequantized tensor as float, numpy shape (reversed ggml dims)."""
+        info = self.tensors[name]
+        out = quants.dequantize(self.tensor_bytes(name), info.ggml_type, info.shape)
+        return out.astype(dtype, copy=False)
+
+    def tensor_names(self) -> list[str]:
+        return list(self._tensor_order)
+
+    def close(self) -> None:
+        self._mm.close()
+        self._file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

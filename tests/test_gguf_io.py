@@ -1,0 +1,96 @@
+"""GGUF reader/writer round-trip tests (container level).
+
+Pins the container format: header, typed KV metadata (all value types),
+tensor index, alignment, and tensor payloads for float and K-quant types.
+"""
+
+import numpy as np
+import pytest
+
+from blama_tpu.gguf import GGMLType, GGUFReader, GGUFWriter, GGUFValueType
+
+
+@pytest.fixture
+def tmp_gguf(tmp_path):
+    return str(tmp_path / "t.gguf")
+
+
+def test_metadata_roundtrip(tmp_gguf):
+    w = GGUFWriter(tmp_gguf)
+    w.add_kv("general.architecture", "llama")
+    w.add_kv("llama.block_count", 2)
+    w.add_kv("llama.rope.freq_base", 10000.0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+    w.add_kv("neg.value", -3, GGUFValueType.INT32)
+    w.add_kv("tokenizer.ggml.tokens", ["<s>", "</s>", "hello", "▁wo rld"])
+    w.add_kv("tokenizer.ggml.scores", [0.0, -1.0, -2.5, 3.25])
+    w.add_kv("tokenizer.ggml.token_type", [3, 3, 1, 1])
+    w.add_kv("big.u64", 1 << 40)
+    w.write()
+
+    r = GGUFReader(tmp_gguf)
+    assert r.metadata["general.architecture"] == "llama"
+    assert r.metadata["llama.block_count"] == 2
+    assert r.metadata["llama.rope.freq_base"] == pytest.approx(10000.0)
+    assert r.metadata["tokenizer.ggml.add_bos_token"] is True
+    assert r.metadata["neg.value"] == -3
+    assert r.metadata["tokenizer.ggml.tokens"] == ["<s>", "</s>", "hello", "▁wo rld"]
+    np.testing.assert_allclose(r.metadata["tokenizer.ggml.scores"], [0.0, -1.0, -2.5, 3.25])
+    assert list(r.metadata["tokenizer.ggml.token_type"]) == [3, 3, 1, 1]
+    assert r.metadata["big.u64"] == 1 << 40
+    r.close()
+
+
+def test_tensor_roundtrip_f32_and_quant(tmp_gguf):
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((4, 256)).astype(np.float32)
+    b = rng.standard_normal((8, 512)).astype(np.float32)
+    c = rng.standard_normal((3, 2, 64)).astype(np.float32)
+
+    w = GGUFWriter(tmp_gguf)
+    w.add_kv("general.architecture", "llama")
+    w.add_tensor("a.weight", a, GGMLType.F32)
+    w.add_tensor("b.weight", b, GGMLType.Q4_K)
+    w.add_tensor("c.weight", c, GGMLType.F16)
+    w.write()
+
+    r = GGUFReader(tmp_gguf)
+    assert r.tensor_names() == ["a.weight", "b.weight", "c.weight"]
+    ia = r.tensors["a.weight"]
+    assert ia.ne == (256, 4)           # ggml order: ne[0] contiguous
+    assert ia.shape == (4, 256)        # numpy order
+    np.testing.assert_array_equal(r.tensor_float("a.weight"), a)
+
+    ib = r.tensors["b.weight"]
+    assert ib.ggml_type == GGMLType.Q4_K
+    bq = r.tensor_float("b.weight")
+    rel = np.sqrt(np.mean((b - bq) ** 2)) / np.sqrt(np.mean(b**2))
+    assert rel < 0.11
+
+    np.testing.assert_allclose(r.tensor_float("c.weight"), c, rtol=1e-3, atol=1e-3)
+    assert r.tensors["c.weight"].shape == (3, 2, 64)
+    r.close()
+
+
+def test_alignment_and_offsets(tmp_gguf):
+    w = GGUFWriter(tmp_gguf, alignment=64)
+    w.add_kv("general.alignment", 64)
+    # 2 bytes of f16 → forces padding before next tensor
+    w.add_tensor("tiny", np.ones((1, 1), np.float32), GGMLType.F16)
+    w.add_tensor("next", np.arange(32, dtype=np.float32).reshape(1, 32), GGMLType.F32)
+    w.write()
+    r = GGUFReader(tmp_gguf)
+    assert r.alignment == 64
+    assert r.data_start % 64 == 0
+    assert r.tensors["next"].offset % 64 == 0
+    np.testing.assert_array_equal(
+        r.tensor_float("next")[0], np.arange(32, dtype=np.float32)
+    )
+    r.close()
+
+
+def test_bad_magic(tmp_path):
+    p = tmp_path / "bad.gguf"
+    p.write_bytes(b"NOPE" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="magic"):
+        GGUFReader(str(p))
