@@ -1,0 +1,218 @@
+"""Llama-family transformer: GGUF weight loading + jittable forward pass.
+
+TPU-native equivalent of llama.cpp's llama-arch compute graph (consumed by the
+reference through llama_decode, SURVEY.md §2.2 "Compute-graph executor").
+Covers llama/mistral/qwen2-style decoder-only models (RMSNorm, RoPE, GQA,
+SwiGLU); MoE (mixtral) lives in models/moe.py; gpt2 in models/gpt2.py.
+
+Structure: per-layer weights are stacked on a leading [n_layer, ...] axis and
+the layer loop is a lax.scan — one traced layer body, fast compiles, and a
+natural target for pipeline sharding of the layer axis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.reader import GGUFReader
+from ..ops.attention import attention
+from ..ops.kv_cache import KVCache
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope
+from .config import ModelConfig
+
+
+def _act(name: str):
+    if name == "silu":
+        return jax.nn.silu
+    if name == "gelu":
+        return partial(jax.nn.gelu, approximate=False)
+    raise ValueError(name)
+
+
+# ---------------------------------------------------------------------------
+# weight loading
+# ---------------------------------------------------------------------------
+
+_LAYER_TENSORS = {
+    "attn_norm": "blk.{i}.attn_norm.weight",
+    "wq": "blk.{i}.attn_q.weight",
+    "wk": "blk.{i}.attn_k.weight",
+    "wv": "blk.{i}.attn_v.weight",
+    "wo": "blk.{i}.attn_output.weight",
+    "ffn_norm": "blk.{i}.ffn_norm.weight",
+    "w_gate": "blk.{i}.ffn_gate.weight",
+    "w_up": "blk.{i}.ffn_up.weight",
+    "w_down": "blk.{i}.ffn_down.weight",
+}
+
+_OPTIONAL_BIASES = {
+    "bq": "blk.{i}.attn_q.bias",
+    "bk": "blk.{i}.attn_k.bias",
+    "bv": "blk.{i}.attn_v.bias",
+}
+
+
+def load_llama_params(reader: GGUFReader, cfg: ModelConfig, dtype=jnp.float32) -> dict[str, Any]:
+    """Load + dequantize llama-family weights into a stacked pytree.
+
+    Matmul weights are stored transposed to (n_in, n_out) so forward is
+    `x @ w` (ggml keeps (n_out, n_in) rows; we transpose once at load).
+    """
+
+    def get_t(name: str) -> np.ndarray:
+        return reader.tensor_float(name).T.copy()  # (n_in, n_out)
+
+    def get_v(name: str) -> np.ndarray:
+        return reader.tensor_float(name)
+
+    layers: dict[str, list[np.ndarray]] = {k: [] for k in _LAYER_TENSORS}
+    has_bias = all(
+        _OPTIONAL_BIASES["bq"].format(i=i) in reader.tensors for i in range(cfg.n_layer)
+    ) and cfg.n_layer > 0
+    if has_bias:
+        for k in _OPTIONAL_BIASES:
+            layers[k] = []
+
+    for i in range(cfg.n_layer):
+        for key, pat in _LAYER_TENSORS.items():
+            name = pat.format(i=i)
+            if key in ("attn_norm", "ffn_norm"):
+                layers[key].append(get_v(name))
+            else:
+                layers[key].append(get_t(name))
+        if has_bias:
+            for key, pat in _OPTIONAL_BIASES.items():
+                layers[key].append(get_v(pat.format(i=i)))
+
+    params = {
+        "tok_emb": get_v("token_embd.weight"),  # (V, E)
+        "out_norm": get_v("output_norm.weight"),
+        "layers": {k: np.stack(v) for k, v in layers.items()},
+    }
+    if "output.weight" in reader.tensors:
+        params["output"] = get_t("output.weight")  # (E, V)
+    else:  # tied embeddings
+        params["output"] = params["tok_emb"].T.copy()
+
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class LlamaStatic:
+    """Hashable static subset of ModelConfig used by the jitted step, so all
+    Instances of equal architecture share one XLA compilation cache entry."""
+
+    n_head: int
+    n_head_kv: int
+    head_dim: int
+    rope_dim: int
+    freq_base: float
+    rms_eps: float
+    act_fn: str
+    causal: bool
+
+    @classmethod
+    def of(cls, cfg: ModelConfig) -> "LlamaStatic":
+        return cls(
+            cfg.n_head, cfg.n_head_kv, cfg.head_dim_, cfg.rope_dim_,
+            cfg.rope_freq_base, cfg.rms_norm_eps, cfg.act_fn, cfg.causal,
+        )
+
+
+def forward(
+    params: dict[str, Any],
+    cfg: ModelConfig | LlamaStatic,
+    tokens: jnp.ndarray,     # [B, T] int32 (padded)
+    positions: jnp.ndarray,  # [B, T] int32 position of each token
+    slots: jnp.ndarray,      # [B, T] int32 cache slot per token; >= n_slots → dropped (pad)
+    cache: KVCache,
+    logits_index: jnp.ndarray | None = None,  # [B] index into T of the logit token
+) -> tuple[jnp.ndarray, KVCache]:
+    """One decode/prefill step. Returns (logits [B, V] f32, updated cache).
+
+    Deterministic by construction: static shapes, fixed reduction orders, and
+    slot-scatter writes — replaying the same token stream yields bit-identical
+    logits (verification contract, SURVEY.md §3.3).
+    """
+    H, Hkv, D = cfg.n_head, cfg.n_head_kv, cfg.head_dim
+    rope_dim, freq_base = cfg.rope_dim, cfg.freq_base
+    interleaved = True  # ggml NORM rope for llama family
+
+    x = params["tok_emb"][tokens]  # [B, T, E]
+    new_positions = jax.vmap(
+        lambda p, s, q: p.at[s].set(q, mode="drop")
+    )(cache.positions, slots, positions)
+
+    act = _act(cfg.act_fn)
+    eps = cfg.rms_eps
+
+    def layer_fn(x, scanned):
+        p, k_l, v_l = scanned  # k_l/v_l: [B, S, Hkv, D]
+        B, T, E = x.shape
+
+        h = rms_norm(x, p["attn_norm"], eps)
+        q = h @ p["wq"]
+        k = h @ p["wk"]
+        v = h @ p["wv"]
+        if "bq" in p:
+            q = q + p["bq"]
+            k = k + p["bk"]
+            v = v + p["bv"]
+        q = q.reshape(B, T, H, D)
+        k = k.reshape(B, T, Hkv, D)
+        v = v.reshape(B, T, Hkv, D)
+
+        q = apply_rope(q, positions, rope_dim, freq_base, interleaved)
+
+        # write unrotated K and V into cache slots (pad slots are dropped)
+        write = jax.vmap(lambda c, s, n: c.at[s].set(n, mode="drop"))
+        k_l = write(k_l, slots, k)
+        v_l = write(v_l, slots, v)
+
+        attn = attention(
+            q, k_l, v_l, positions, new_positions,
+            rope_dim=rope_dim, freq_base=freq_base,
+            interleaved=interleaved, causal=cfg.causal,
+        )
+        x = x + attn.reshape(B, T, H * D) @ p["wo"]
+
+        h2 = rms_norm(x, p["ffn_norm"], eps)
+        gate = act(h2 @ p["w_gate"])
+        x = x + (gate * (h2 @ p["w_up"])) @ p["w_down"]
+        return x, (k_l, v_l)
+
+    x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (params["layers"], cache.k, cache.v))
+
+    if logits_index is None:
+        logits_index = jnp.full((tokens.shape[0],), tokens.shape[1] - 1, jnp.int32)
+    last_h = jax.vmap(lambda xb, i: xb[i])(x, logits_index)  # [B, E]
+    last_h = rms_norm(last_h, params["out_norm"], eps)
+    logits = (last_h.astype(jnp.float32) @ params["output"].astype(jnp.float32))
+
+    return logits, KVCache(k_new, v_new, new_positions)
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(5,))
+def _llama_step(st: LlamaStatic, params, tokens, positions, slots, cache, logits_index):
+    return forward(params, st, tokens, positions, slots, cache, logits_index)
+
+
+def make_step_fn(cfg: ModelConfig):
+    """Step function sharing one jit cache per architecture (LlamaStatic)."""
+    st = LlamaStatic.of(cfg)
+
+    def step(params, tokens, positions, slots, cache, logits_index):
+        return _llama_step(st, params, tokens, positions, slots, cache, logits_index)
+
+    return step

@@ -1,0 +1,172 @@
+"""Instance: execution context binding a Model to device KV state.
+
+Mirror of the reference Instance (/root/reference/inference/code/llama/
+Instance.{hpp,cpp}): owns the context-length/batch configuration, enforces
+exactly one active Session (Instance.cpp:121-131), provides warmup
+(Instance.cpp:86-119), and — new here — owns the jitted step functions and
+the KV slot allocator.
+
+Decode requests are padded to a small set of bucket shapes (powers of two up
+to ubatch_size) so XLA compiles a handful of programs; padding tokens scatter
+to an out-of-range slot (dropped) and are masked out of attention, which
+keeps logits bit-identical regardless of bucket choice for the real tokens'
+slots — the batch-invariance requirement for verification replay.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import kv_cache as kvc
+from .session import Session, SessionInitParams
+
+
+def _bucket(n: int, cap: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+@dataclass
+class InstanceInitParams:
+    """Reference: Instance::InitParams (Instance.hpp:21-26)."""
+
+    ctx_size: int = 0            # 0 = train context length
+    batch_size: int = 2048
+    ubatch_size: int = 512
+    flash_attn: bool = False     # Pallas fused attention (ops/pallas)
+    kv_dtype: str = "float32"    # float32 | bfloat16 | int8 (quantized KV)
+
+
+class Instance:
+    def __init__(self, model, params: InstanceInitParams | None = None):
+        self.model = model
+        self.params = params or InstanceInitParams()
+        cfg = model.config
+        self.ctx_len = self.params.ctx_size or cfg.n_ctx_train
+        if self.ctx_len > cfg.n_ctx_train:
+            import logging
+
+            logging.getLogger("blama_tpu").warning(
+                "Instance requested context length %d is greater than the "
+                "model's training context length %d", self.ctx_len, cfg.n_ctx_train,
+            )
+        self.batch_size = self.params.batch_size
+        self.ubatch_size = min(self.params.ubatch_size, self.batch_size)
+
+        kv_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.params.kv_dtype]
+        self.cache = kvc.KVCache.create(
+            cfg.n_layer, 1, self.ctx_len, cfg.n_head_kv, cfg.head_dim_, kv_dtype
+        )
+        self.allocator = kvc.SlotAllocator(self.ctx_len)
+
+        if cfg.arch in ("llama", "mistral", "qwen2", "mixtral"):
+            if cfg.is_moe:
+                from ..models.moe import make_step_fn
+            else:
+                from ..models.llama import make_step_fn
+        elif cfg.arch == "gpt2":
+            from ..models.gpt2 import make_step_fn
+        else:
+            raise NotImplementedError(cfg.arch)
+        self._step = make_step_fn(cfg)
+
+        self._session: Session | None = None
+
+    # -- session lifecycle (single active session, Instance.cpp:121-131) -----
+
+    def start_session(self, params: SessionInitParams | None = None) -> Session:
+        if self._session is not None:
+            raise RuntimeError("Another session is currently active")
+        self._session = Session(self, params)
+        return self._session
+
+    def stop_session(self) -> None:
+        self._session = None
+
+    def warmup(self) -> None:
+        """Single decode of [BOS, EOS] then clear (Instance.cpp:86-119)."""
+        vocab = self.model.vocab
+        tokens = [t for t in (vocab.bos(), vocab.eos()) if t >= 0] or [0]
+        self.decode(tokens, np.arange(len(tokens), dtype=np.int64))
+        self.clear_cache()
+
+    # -- KV management --------------------------------------------------------
+
+    def clear_cache(self) -> None:
+        self.cache = kvc.clear(self.cache)
+        self.allocator.clear()
+
+    def kv_seq_rm(self, p0: int, p1: int) -> None:
+        self.cache = kvc.seq_rm(self.cache, jnp.int32(p0), jnp.int32(p1))
+        self.allocator.apply_rm(p0, p1)
+
+    def kv_seq_add(self, p0: int, p1: int, delta: int) -> None:
+        self.cache = kvc.seq_add(self.cache, jnp.int32(p0), jnp.int32(p1), jnp.int32(delta))
+        self.allocator.apply_add(p0, p1, delta)
+
+    def kv_seq_div(self, p0: int, p1: int, divisor: int) -> None:
+        self.cache = kvc.seq_div(self.cache, jnp.int32(p0), jnp.int32(p1), jnp.int32(divisor))
+        self.allocator.apply_div(p0, p1, divisor)
+
+    def cache_host(self):
+        return (
+            np.asarray(self.cache.k),
+            np.asarray(self.cache.v),
+            np.asarray(self.cache.positions),
+        )
+
+    def restore_cache(self, k, v, pos) -> None:
+        self.cache = kvc.KVCache(
+            jnp.asarray(k, self.cache.k.dtype),
+            jnp.asarray(v, self.cache.v.dtype),
+            jnp.asarray(pos, jnp.int32),
+        )
+
+    # -- decode ---------------------------------------------------------------
+
+    def decode(self, tokens: list[int], positions: np.ndarray) -> np.ndarray:
+        """Decode ≤ ubatch tokens (chunking above that is the Session's job),
+        returning the last real token's full-vocab logits as host float32."""
+        n = len(tokens)
+        assert n > 0
+        out = None
+        off = 0
+        while off < n:
+            chunk = tokens[off: off + self.ubatch_size]
+            pos = positions[off: off + self.ubatch_size]
+            out = self._decode_chunk(chunk, pos)
+            off += len(chunk)
+        return out
+
+    def _decode_chunk(self, tokens: list[int], positions: np.ndarray) -> np.ndarray:
+        n = len(tokens)
+        T = _bucket(n, self.ubatch_size)
+        slots = self.allocator.allocate(n)
+        self.allocator.record(slots, positions)
+
+        tok_pad = np.zeros((1, T), np.int32)
+        tok_pad[0, :n] = tokens
+        pos_pad = np.full((1, T), 0, np.int32)
+        pos_pad[0, :n] = positions
+        slot_pad = np.full((1, T), self.ctx_len, np.int32)  # out-of-range → dropped
+        slot_pad[0, :n] = slots
+        logits_index = np.array([n - 1], np.int32)
+
+        logits, self.cache = self._step(
+            self.model.weights,
+            jnp.asarray(tok_pad),
+            jnp.asarray(pos_pad),
+            jnp.asarray(slot_pad),
+            self.cache,
+            jnp.asarray(logits_index),
+        )
+        return np.asarray(logits[0]).astype(np.float32)
+
+    def encode(self, tokens: list[int]) -> None:
+        raise NotImplementedError("encoder models not yet supported")

@@ -1,0 +1,94 @@
+"""Model: GGUF load → config + vocab + device weights.
+
+Mirror of the reference Model facade (/root/reference/inference/code/llama/
+Model.{hpp,cpp}): owns the loaded weights and vocab, answers metadata queries
+(trainCtxLength, shouldAddBosToken, hasEncoder, getChatTemplateId). The
+gpu/cpu device flag of the reference (Model.cpp:12-31) is replaced by a JAX
+mesh/sharding spec.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax.numpy as jnp
+
+from ..gguf.reader import GGUFReader
+from ..models.config import ModelConfig
+from .vocab import Vocab
+
+ModelLoadProgressCb = Callable[[float], None]
+
+
+@dataclass
+class ModelParams:
+    """Reference: Model::Params (Model.hpp:28-34). `gpu` becomes a sharding
+    spec name; dtype selects the on-device weight precision."""
+
+    vocab_only: bool = False
+    prefix_inputs_with_bos: bool = False
+    dtype: str = "float32"           # float32 | bfloat16
+    mesh: object = None              # jax Mesh for sharded load (parallel/)
+    sharding_rules: object = None
+
+
+class Model:
+    def __init__(self, gguf_path: str, params: ModelParams | None = None,
+                 progress_cb: ModelLoadProgressCb | None = None):
+        self.params = params or ModelParams()
+        self.reader = GGUFReader(gguf_path)
+        self.config = ModelConfig.from_gguf(self.reader)
+        self.vocab = Vocab.from_gguf(self.reader)
+        self.weights = None
+        if not self.params.vocab_only:
+            self.weights = self._load_weights(progress_cb)
+
+    def _load_weights(self, progress_cb: ModelLoadProgressCb | None):
+        dtype = jnp.bfloat16 if self.params.dtype == "bfloat16" else jnp.float32
+        arch = self.config.arch
+        if progress_cb:
+            progress_cb(0.0)
+        if arch in ("llama", "mistral", "qwen2", "mixtral"):
+            if self.config.is_moe:
+                from ..models.moe import load_moe_params
+
+                w = load_moe_params(self.reader, self.config, dtype,
+                                    mesh=self.params.mesh)
+            else:
+                from ..models.llama import load_llama_params
+
+                w = load_llama_params(self.reader, self.config, dtype)
+        elif arch == "gpt2":
+            from ..models.gpt2 import load_gpt2_params
+
+            w = load_gpt2_params(self.reader, self.config, dtype)
+        elif arch == "bert":
+            from ..models.bert import load_bert_params
+
+            w = load_bert_params(self.reader, self.config, dtype)
+        else:
+            raise NotImplementedError(f"architecture {arch!r}")
+        if progress_cb:
+            progress_cb(1.0)
+        return w
+
+    # -- reference Model API -------------------------------------------------
+
+    def train_ctx_length(self) -> int:
+        return self.config.n_ctx_train
+
+    def should_add_bos_token(self) -> bool:
+        return self.vocab.should_add_bos()
+
+    def has_encoder(self) -> bool:
+        return self.config.has_encoder
+
+    def get_chat_template_id(self) -> str:
+        return self.config.chat_template_id()
+
+    def prefix_inputs_with_bos(self) -> bool:
+        return self.params.prefix_inputs_with_bos
+
+    def close(self) -> None:
+        self.reader.close()

@@ -1,0 +1,121 @@
+"""Deterministic tiny-model fixtures for tests and benchmarks.
+
+The reference tests against small real GGUF models fetched from HuggingFace
+(/root/reference/CMakeLists.txt:62-68, t-integration.cpp:23). This environment
+has no network, so we generate tiny-but-real GGUF models (genuine K-quant
+tensors, SPM-style vocab with byte fallback) with seeded weights. Golden
+outputs are pinned against these fixtures, giving the same regression power.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .gguf import GGMLType, GGUFWriter
+from .runtime.vocab import TT_BYTE, TT_CONTROL, TT_NORMAL, TT_UNKNOWN
+
+
+def tiny_spm_vocab() -> tuple[list[str], list[float], list[int]]:
+    """SPM-style vocab: specials + 256 byte tokens + merge chains for a few
+    words, so 'hello world' tokenizes to whole-word pieces and anything else
+    falls back to bytes."""
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [TT_UNKNOWN, TT_CONTROL, TT_CONTROL]
+    scores = [-1e9, 0.0, 0.0]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        types.append(TT_BYTE)
+        scores.append(-1e6)
+
+    words = ["hello", "world", "president", "george", "bush", "the", "cat", "sat"]
+    for w in words:
+        piece = "▁" + w
+        for ln in range(2, len(piece) + 1):
+            sub = piece[:ln]
+            if sub not in tokens:
+                tokens.append(sub)
+                types.append(TT_NORMAL)
+                scores.append(-float(ln))
+    # common suffix fragments for multi-token words
+    for frag in ["ing", "ed", "er", "s"]:
+        if frag not in tokens:
+            tokens.append(frag)
+            types.append(TT_NORMAL)
+            scores.append(-20.0)
+    return tokens, scores, types
+
+
+TINY_LLAMA_SPEC = dict(
+    n_layer=2,
+    n_embd=256,
+    n_head=4,
+    n_head_kv=2,
+    n_ff=512,
+    n_ctx=512,
+    rope_freq_base=10000.0,
+    rms_eps=1e-5,
+)
+
+
+def write_tiny_llama(
+    path: str,
+    quant: GGMLType = GGMLType.Q4_K,
+    seed: int = 1234,
+    chat_template: str = "",
+    spec: dict | None = None,
+) -> None:
+    """Write a deterministic tiny llama-architecture GGUF model."""
+    s = dict(TINY_LLAMA_SPEC)
+    if spec:
+        s.update(spec)
+    tokens, scores, types = tiny_spm_vocab()
+    n_vocab = len(tokens)
+    E, H, HKV, F, L = s["n_embd"], s["n_head"], s["n_head_kv"], s["n_ff"], s["n_layer"]
+    D = E // H
+
+    rng = np.random.default_rng(seed)
+
+    def w(shape, scale=None):
+        scale = scale if scale is not None else (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    g = GGUFWriter(path)
+    g.add_kv("general.architecture", "llama")
+    g.add_kv("general.name", "tiny-llama-fixture")
+    g.add_kv("llama.block_count", L)
+    g.add_kv("llama.embedding_length", E)
+    g.add_kv("llama.feed_forward_length", F)
+    g.add_kv("llama.attention.head_count", H)
+    g.add_kv("llama.attention.head_count_kv", HKV)
+    g.add_kv("llama.attention.layer_norm_rms_epsilon", float(s["rms_eps"]))
+    g.add_kv("llama.context_length", s["n_ctx"])
+    g.add_kv("llama.rope.freq_base", float(s["rope_freq_base"]))
+    g.add_kv("llama.rope.dimension_count", D)
+    g.add_kv("llama.vocab_size", n_vocab)
+    g.add_kv("tokenizer.ggml.model", "llama")
+    g.add_kv("tokenizer.ggml.tokens", tokens)
+    g.add_kv("tokenizer.ggml.scores", scores)
+    g.add_kv("tokenizer.ggml.token_type", types)
+    g.add_kv("tokenizer.ggml.bos_token_id", 1)
+    g.add_kv("tokenizer.ggml.eos_token_id", 2)
+    g.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    g.add_kv("tokenizer.ggml.add_bos_token", True)
+    g.add_kv("tokenizer.ggml.add_space_prefix", True)
+    if chat_template:
+        g.add_kv("tokenizer.chat_template", chat_template)
+
+    # norms stay f32 (as real GGUF files do)
+    g.add_tensor("token_embd.weight", w((n_vocab, E), 0.05), quant)
+    g.add_tensor("output_norm.weight", np.ones(E, np.float32) + w((E,), 0.01), GGMLType.F32)
+    g.add_tensor("output.weight", w((n_vocab, E)), quant)
+    for i in range(L):
+        g.add_tensor(f"blk.{i}.attn_norm.weight", np.ones(E, np.float32) + w((E,), 0.01), GGMLType.F32)
+        g.add_tensor(f"blk.{i}.attn_q.weight", w((H * D, E)), quant)
+        g.add_tensor(f"blk.{i}.attn_k.weight", w((HKV * D, E)), quant)
+        g.add_tensor(f"blk.{i}.attn_v.weight", w((HKV * D, E)), quant)
+        g.add_tensor(f"blk.{i}.attn_output.weight", w((E, H * D)), quant)
+        g.add_tensor(f"blk.{i}.ffn_norm.weight", np.ones(E, np.float32) + w((E,), 0.01), GGMLType.F32)
+        g.add_tensor(f"blk.{i}.ffn_gate.weight", w((F, E)), quant)
+        g.add_tensor(f"blk.{i}.ffn_up.weight", w((F, E)), quant)
+        g.add_tensor(f"blk.{i}.ffn_down.weight", w((E, F)), quant)
+    g.write()

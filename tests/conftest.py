@@ -16,4 +16,20 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import pathlib
 import sys
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT))
+
+# Persistent XLA compilation cache: test models compile once per architecture
+# across the whole suite and across runs.
+import jax
+
+# The environment pre-sets JAX_PLATFORMS=axon (tunneled TPU) and a
+# sitecustomize hook re-asserts it, so the env var alone is not enough —
+# the config update is authoritative. Tests must run on the virtual
+# 8-device CPU platform.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must not run on the tunneled TPU"
+
+jax.config.update("jax_compilation_cache_dir", str(_ROOT / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
