@@ -1,0 +1,125 @@
+"""Automated HTTP round-trip tests (the reference only has a manual ruby
+script, server/code/http/test.rb — SURVEY.md §4 flags the missing automated
+coverage; this closes that gap)."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from blama_tpu.gguf import GGMLType
+from blama_tpu.runtime.instance import InstanceInitParams
+from blama_tpu.runtime.model import Model
+from blama_tpu.server.http import HttpServer
+from blama_tpu.server.server import Server
+from blama_tpu.testing import write_tiny_llama
+
+CHATML = (
+    "{% for message in messages %}{{'<|im_start|>' + message['role'] + '\n' + "
+    "message['content'] + '<|im_end|>' + '\n'}}{% endfor %}"
+    "{% if add_generation_prompt %}{{ '<|im_start|>assistant\n' }}{% endif %}"
+)
+
+
+@pytest.fixture(scope="module")
+def http_server(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("srv") / "tiny.gguf")
+    write_tiny_llama(p, GGMLType.Q8_0, chat_template=CHATML)
+    model = Model(p)
+    api = Server(model, InstanceInitParams(ctx_size=128))
+    srv = HttpServer(("127.0.0.1", 0), api)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    api.close()
+    model.close()
+
+
+def post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_complete_roundtrip_and_verify(http_server):
+    request = {"prompt": "hello world", "max_tokens": 6, "seed": 42, "temp": 0.0}
+    status, out = post(http_server + "/complete", request)
+    assert status == 200
+    assert "text" in out and "tokenData" in out
+    assert 1 <= len(out["tokenData"]) <= 6
+    td = out["tokenData"][0]
+    assert set(td) == {"str", "id", "logits"}
+    assert len(td["logits"]) == 10
+    assert set(td["logits"][0]) == {"id", "logit"}
+
+    # feed the completion back for verification (same flow as test.rb:10-25)
+    status, vr = post(
+        http_server + "/verify_completion",
+        {"request": request, "response": {"tokenData": out["tokenData"]}},
+    )
+    assert status == 200
+    assert vr["result"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_verify_detects_tampering(http_server):
+    request = {"prompt": "the cat sat", "max_tokens": 5, "seed": 1, "temp": 0.0}
+    _, out = post(http_server + "/complete", request)
+    tampered = [dict(td) for td in out["tokenData"]]
+    for td in tampered:
+        td["logits"] = [
+            {"id": l["id"], "logit": l["logit"] * 3.0 + 5.0} for l in td["logits"]
+        ]
+    _, vr = post(
+        http_server + "/verify_completion",
+        {"request": request, "response": {"tokenData": tampered}},
+    )
+    assert vr["result"] < 0.95
+
+
+def test_chat_completions_and_chat_verify(http_server):
+    request = {
+        "messages": [
+            {"role": "system", "content": "you are helpful"},
+            {"role": "user", "content": "hello"},
+        ],
+        "max_tokens": 4,
+        "seed": 7,
+        "temp": 0.0,
+    }
+    status, out = post(http_server + "/chat/completions", request)
+    assert status == 200
+    assert len(out["tokenData"]) >= 1
+
+    status, vr = post(
+        http_server + "/chat/verify_completion",
+        {"request": request, "response": {"tokenData": out["tokenData"]}},
+    )
+    assert status == 200
+    assert vr["result"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_unknown_route_404(http_server):
+    req = urllib.request.Request(
+        http_server + "/nope", data=b"{}", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 404
+
+
+def test_get_is_bad_request(http_server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(http_server + "/complete", timeout=30)
+    assert e.value.code == 400
+
+
+def test_bad_json_400(http_server):
+    req = urllib.request.Request(
+        http_server + "/complete", data=b"not json", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
