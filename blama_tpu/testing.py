@@ -119,3 +119,122 @@ def write_tiny_llama(
         g.add_tensor(f"blk.{i}.ffn_up.weight", w((F, E)), quant)
         g.add_tensor(f"blk.{i}.ffn_down.weight", w((E, F)), quant)
     g.write()
+
+
+# ---------------------------------------------------------------------------
+# fast direct-packed synthesis (for benchmarks: no float source material)
+# ---------------------------------------------------------------------------
+
+MODEL_PRESETS = {
+    # TinyLlama-1.1B geometry (BASELINE.json config #1)
+    "tinyllama-1.1b": dict(n_layer=22, n_embd=2048, n_head=32, n_head_kv=4,
+                           n_ff=5632, n_ctx=2048, n_vocab=32000),
+    # Llama-3-8B geometry (BASELINE.json configs #2/#3)
+    "llama3-8b": dict(n_layer=32, n_embd=4096, n_head=32, n_head_kv=8,
+                      n_ff=14336, n_ctx=8192, n_vocab=128256,
+                      rope_freq_base=500000.0),
+    # ~0.3B debug size
+    "debug-0.3b": dict(n_layer=8, n_embd=1024, n_head=16, n_head_kv=4,
+                       n_ff=2816, n_ctx=2048, n_vocab=32000),
+}
+
+
+def _pack_q4_k_direct(rng: np.random.Generator, n_rows: int, row_len: int,
+                      sigma: float) -> bytes:
+    """Directly synthesize packed Q4_K superblocks with plausible statistics:
+    random 4-bit codes, fixed mid scales, and d chosen so dequantized values
+    have std ≈ sigma. ~100x faster than quantizing random floats."""
+    n_blocks = (n_rows * row_len) // 256
+    out = np.zeros((n_blocks, 144), dtype=np.uint8)
+    # std of uniform q in [0,15] is ~4.61; effective scale = d*sc with sc=32
+    d = np.float16(sigma / (32 * 4.61))
+    dmin = np.float16(float(d) * 32 * 7.5 / 32)  # centers E[q]=7.5
+    out[:, 0:2] = np.frombuffer(d.tobytes(), dtype=np.uint8)
+    out[:, 2:4] = np.frombuffer(dmin.tobytes(), dtype=np.uint8)
+    from .gguf.quants import _pack_scale_min_k4
+
+    sc = np.full((1, 8), 32, np.int64)
+    out[:, 4:16] = _pack_scale_min_k4(sc, sc)[0]
+    out[:, 16:] = rng.integers(0, 256, size=(n_blocks, 128), dtype=np.uint8)
+    return out.tobytes()
+
+
+def _pack_f32_norm(n: int) -> tuple[bytes, tuple[int, ...]]:
+    return np.ones(n, np.float32).tobytes(), (n,)
+
+
+def synthesize_llama_gguf(path: str, preset: str = "tinyllama-1.1b",
+                          seed: int = 7, quant: GGMLType = GGMLType.Q4_K) -> dict:
+    """Write a realistic-size llama GGUF with direct-packed quantized tensors.
+
+    Weight *values* are random (throughput benchmarking does not depend on
+    them) but every byte layout, metadata key, and tensor name is real, so the
+    full load path (parse → dequant/repack → upload) is exercised.
+    """
+    if quant != GGMLType.Q4_K:
+        raise NotImplementedError("direct synthesis currently packs Q4_K only")
+    s = dict(MODEL_PRESETS[preset])
+    E, H, HKV, F, L, V = (s["n_embd"], s["n_head"], s["n_head_kv"],
+                          s["n_ff"], s["n_layer"], s["n_vocab"])
+    D = E // H
+    rng = np.random.default_rng(seed)
+
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [TT_UNKNOWN, TT_CONTROL, TT_CONTROL]
+    scores = [-1e9, 0.0, 0.0]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        types.append(TT_BYTE)
+        scores.append(-1e6)
+    for i in range(V - len(tokens)):
+        tokens.append(f"▁tok{i}")
+        types.append(TT_NORMAL)
+        scores.append(-10.0)
+
+    g = GGUFWriter(path)
+    g.add_kv("general.architecture", "llama")
+    g.add_kv("general.name", f"synthetic-{preset}")
+    g.add_kv("llama.block_count", L)
+    g.add_kv("llama.embedding_length", E)
+    g.add_kv("llama.feed_forward_length", F)
+    g.add_kv("llama.attention.head_count", H)
+    g.add_kv("llama.attention.head_count_kv", HKV)
+    g.add_kv("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    g.add_kv("llama.context_length", s["n_ctx"])
+    g.add_kv("llama.rope.freq_base", float(s.get("rope_freq_base", 10000.0)))
+    g.add_kv("llama.rope.dimension_count", D)
+    g.add_kv("llama.vocab_size", V)
+    g.add_kv("tokenizer.ggml.model", "llama")
+    g.add_kv("tokenizer.ggml.tokens", tokens)
+    g.add_kv("tokenizer.ggml.scores", scores)
+    g.add_kv("tokenizer.ggml.token_type", types)
+    g.add_kv("tokenizer.ggml.bos_token_id", 1)
+    g.add_kv("tokenizer.ggml.eos_token_id", 2)
+    g.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    g.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def q(name, n_out, n_in, sigma=None):
+        sigma = sigma if sigma is not None else 1.0 / np.sqrt(n_in)
+        g.add_tensor(name, None, GGMLType.Q4_K,
+                     raw_bytes=_pack_q4_k_direct(rng, n_out, n_in, sigma),
+                     ne=(n_in, n_out))
+
+    def norm(name, n):
+        data, ne = _pack_f32_norm(n)
+        g.add_tensor(name, None, GGMLType.F32, raw_bytes=data, ne=ne)
+
+    q("token_embd.weight", V, E, 0.02)
+    norm("output_norm.weight", E)
+    q("output.weight", V, E)
+    for i in range(L):
+        norm(f"blk.{i}.attn_norm.weight", E)
+        q(f"blk.{i}.attn_q.weight", H * D, E)
+        q(f"blk.{i}.attn_k.weight", HKV * D, E)
+        q(f"blk.{i}.attn_v.weight", HKV * D, E)
+        q(f"blk.{i}.attn_output.weight", E, H * D)
+        norm(f"blk.{i}.ffn_norm.weight", E)
+        q(f"blk.{i}.ffn_gate.weight", F, E)
+        q(f"blk.{i}.ffn_up.weight", F, E)
+        q(f"blk.{i}.ffn_down.weight", E, F)
+    g.write()
+    return s
