@@ -146,6 +146,7 @@ def forward(
     slots: jnp.ndarray,      # [B, T] int32 cache slot per token; >= n_slots → dropped (pad)
     cache: KVCache,
     logits_index: jnp.ndarray | None = None,  # [B] index into T of the logit token
+    return_hidden: bool = False,
 ) -> tuple[jnp.ndarray, KVCache]:
     """One decode/prefill step. Returns (logits [B, V] f32, updated cache).
 
@@ -198,6 +199,10 @@ def forward(
         h2 = rms_norm(x, p["ffn_norm"], eps)
         gate = act(h2 @ p["w_gate"])
         x = x + (gate * (h2 @ p["w_up"])) @ p["w_down"]
+        if "cvec" in p:
+            # control-vector steering: per-layer residual bias
+            # (llama_apply_adapter_cvec analog, Instance.cpp:73-84)
+            x = x + p["cvec"]
         return x, (k_l, v_l)
 
     x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (params["layers"], cache.k, cache.v))
@@ -206,11 +211,21 @@ def forward(
         logits_index = jnp.full((tokens.shape[0],), tokens.shape[1] - 1, jnp.int32)
     last_h = jax.vmap(lambda xb, i: xb[i])(x, logits_index)  # [B, E]
     last_h = rms_norm(last_h, params["out_norm"], eps)
+    if return_hidden:
+        return last_h, KVCache(k_new, v_new, new_positions)
     logits = (last_h.astype(jnp.float32) @ params["output"].astype(jnp.float32))
     n_vocab = params["tok_emb"].shape[0]
     logits = logits[:, :n_vocab]  # drop vocab padding (see load_llama_params)
 
     return logits, KVCache(k_new, v_new, new_positions)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def last_hidden(st: "LlamaStatic", params, tokens, positions, slots, cache, logits_index):
+    """Final normed hidden state at logits_index (embeddings path for
+    decoder-only models, InstanceEmbedding.cpp:129-157)."""
+    return forward(params, st, tokens, positions, slots, cache, logits_index,
+                   return_hidden=True)
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(5,))

@@ -77,6 +77,7 @@ class Instance:
         self._step = make_step_fn(cfg)
 
         self._session: Session | None = None
+        self._loras: list = []
 
     # -- session lifecycle (single active session, Instance.cpp:121-131) -----
 
@@ -88,6 +89,38 @@ class Instance:
 
     def stop_session(self) -> None:
         self._session = None
+
+    # -- adapters (Instance.cpp:52-84) ---------------------------------------
+
+    def add_lora(self, adapter, scale: float = 1.0) -> None:
+        """Fold a LoRA adapter into the weights (llama_set_adapter_lora)."""
+        from .lora import apply_lora
+
+        self.model.weights = apply_lora(self.model.weights, adapter, scale, +1.0)
+        self._loras.append((adapter, scale))
+
+    def clear_lora_state(self) -> None:
+        """Remove all applied adapters (llama_clear_adapter_lora)."""
+        from .lora import apply_lora
+
+        for adapter, scale in self._loras:
+            self.model.weights = apply_lora(self.model.weights, adapter, scale, -1.0)
+        self._loras.clear()
+
+    def apply_control_vector(self, cvec, layer_start: int = 1, layer_end: int | None = None) -> None:
+        """Attach (or with cvec=None detach) a control vector
+        (llama_apply_adapter_cvec, Instance.cpp:73-84)."""
+        import jax.numpy as jnp
+
+        layers = dict(self.model.weights["layers"])
+        if cvec is None:
+            layers.pop("cvec", None)
+        else:
+            cfg = self.model.config
+            end = layer_end if layer_end is not None else cfg.n_layer
+            bias = cvec.as_layer_bias(cfg.n_layer, layer_start, end)
+            layers["cvec"] = jnp.asarray(bias, self.model.weights["tok_emb"].dtype)
+        self.model.weights = {**self.model.weights, "layers": layers}
 
     def warmup(self) -> None:
         """Single decode of [BOS, EOS] then clear (Instance.cpp:86-119)."""

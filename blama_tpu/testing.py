@@ -238,3 +238,68 @@ def synthesize_llama_gguf(path: str, preset: str = "tinyllama-1.1b",
         q(f"blk.{i}.ffn_down.weight", E, F)
     g.write()
     return s
+
+
+def write_tiny_bert(path: str, seed: int = 99, pooling_type: int = 2) -> None:
+    """Tiny BERT-architecture GGUF for embeddings tests (bge-small stand-in)."""
+    E, H, F, L = 64, 4, 128, 2
+    tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+    types = [TT_CONTROL, TT_UNKNOWN, TT_CONTROL, TT_CONTROL]
+    scores = [0.0] * 4
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        types.append(TT_BYTE)
+        scores.append(-1e6)
+    for w in ["▁hello", "▁world", "▁the"]:
+        tokens.append(w)
+        types.append(TT_NORMAL)
+        scores.append(-5.0)
+    n_vocab = len(tokens)
+
+    rng = np.random.default_rng(seed)
+
+    def w(shape, scale=None):
+        scale = scale if scale is not None else (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    g = GGUFWriter(path)
+    g.add_kv("general.architecture", "bert")
+    g.add_kv("bert.block_count", L)
+    g.add_kv("bert.embedding_length", E)
+    g.add_kv("bert.feed_forward_length", F)
+    g.add_kv("bert.attention.head_count", H)
+    g.add_kv("bert.attention.layer_norm_epsilon", 1e-12)
+    g.add_kv("bert.context_length", 512)
+    g.add_kv("bert.vocab_size", n_vocab)
+    g.add_kv("bert.pooling_type", pooling_type)
+    g.add_kv("tokenizer.ggml.model", "llama")
+    g.add_kv("tokenizer.ggml.tokens", tokens)
+    g.add_kv("tokenizer.ggml.scores", scores)
+    g.add_kv("tokenizer.ggml.token_type", types)
+    g.add_kv("tokenizer.ggml.bos_token_id", 2)
+    g.add_kv("tokenizer.ggml.eos_token_id", 3)
+    g.add_kv("tokenizer.ggml.unknown_token_id", 1)
+
+    g.add_tensor("token_embd.weight", w((n_vocab, E), 0.05))
+    g.add_tensor("token_types.weight", w((2, E), 0.02))
+    g.add_tensor("position_embd.weight", w((512, E), 0.02))
+    g.add_tensor("token_embd_norm.weight", np.ones(E, np.float32))
+    g.add_tensor("token_embd_norm.bias", np.zeros(E, np.float32))
+    for i in range(L):
+        g.add_tensor(f"blk.{i}.attn_q.weight", w((E, E)))
+        g.add_tensor(f"blk.{i}.attn_q.bias", np.zeros(E, np.float32))
+        g.add_tensor(f"blk.{i}.attn_k.weight", w((E, E)))
+        g.add_tensor(f"blk.{i}.attn_k.bias", np.zeros(E, np.float32))
+        g.add_tensor(f"blk.{i}.attn_v.weight", w((E, E)))
+        g.add_tensor(f"blk.{i}.attn_v.bias", np.zeros(E, np.float32))
+        g.add_tensor(f"blk.{i}.attn_output.weight", w((E, E)))
+        g.add_tensor(f"blk.{i}.attn_output.bias", np.zeros(E, np.float32))
+        g.add_tensor(f"blk.{i}.attn_output_norm.weight", np.ones(E, np.float32))
+        g.add_tensor(f"blk.{i}.attn_output_norm.bias", np.zeros(E, np.float32))
+        g.add_tensor(f"blk.{i}.ffn_up.weight", w((F, E)))
+        g.add_tensor(f"blk.{i}.ffn_up.bias", np.zeros(F, np.float32))
+        g.add_tensor(f"blk.{i}.ffn_down.weight", w((E, F)))
+        g.add_tensor(f"blk.{i}.ffn_down.bias", np.zeros(E, np.float32))
+        g.add_tensor(f"blk.{i}.layer_output_norm.weight", np.ones(E, np.float32))
+        g.add_tensor(f"blk.{i}.layer_output_norm.bias", np.zeros(E, np.float32))
+    g.write()
