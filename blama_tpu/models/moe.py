@@ -1,0 +1,187 @@
+"""Mixture-of-Experts (Mixtral-family) transformer.
+
+Extends the llama-family block with a routed expert FFN (GGUF tensors
+blk.N.ffn_gate_inp.weight router + 3-D ffn_{gate,up,down}_exps.weight expert
+banks). BASELINE.json config #4 (Mixtral-8x7B expert-sharded) is the target;
+experts shard over the mesh's tp axis (acting as the expert-parallel axis),
+with GSPMD inserting the cross-expert reduction.
+
+Routing: top-k (n_expert_used) softmax-renormalized over the selected
+experts, the standard Mixtral semantics. The current mixture computation is
+dense-with-masking (every expert computed, one-hot-weighted sum) — correct,
+batch-invariant, and sharding-friendly; the ragged gather/megablox-style
+Pallas kernel is the planned optimization for decode.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.reader import GGUFReader
+from ..ops.attention import attention
+from ..ops.kv_cache import KVCache
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope
+from .config import ModelConfig
+from .llama import _act
+
+
+def load_moe_params(reader: GGUFReader, cfg: ModelConfig, dtype=jnp.float32, mesh=None) -> dict[str, Any]:
+    def get_t(name):
+        return reader.tensor_float(name).T.copy()
+
+    def get_v(name):
+        return reader.tensor_float(name)
+
+    def get_exps(name):
+        # numpy shape (n_expert, F_out, F_in) → transpose per expert to (n_expert, F_in, F_out)
+        w = reader.tensor_float(name)
+        return np.ascontiguousarray(w.transpose(0, 2, 1))
+
+    layers: dict[str, list] = {
+        k: [] for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
+                        "router", "w_gate_exps", "w_up_exps", "w_down_exps")
+    }
+    for i in range(cfg.n_layer):
+        layers["attn_norm"].append(get_v(f"blk.{i}.attn_norm.weight"))
+        layers["wq"].append(get_t(f"blk.{i}.attn_q.weight"))
+        layers["wk"].append(get_t(f"blk.{i}.attn_k.weight"))
+        layers["wv"].append(get_t(f"blk.{i}.attn_v.weight"))
+        layers["wo"].append(get_t(f"blk.{i}.attn_output.weight"))
+        layers["ffn_norm"].append(get_v(f"blk.{i}.ffn_norm.weight"))
+        layers["router"].append(get_t(f"blk.{i}.ffn_gate_inp.weight"))  # (E, n_expert)
+        layers["w_gate_exps"].append(get_exps(f"blk.{i}.ffn_gate_exps.weight"))
+        layers["w_up_exps"].append(get_exps(f"blk.{i}.ffn_up_exps.weight"))
+        layers["w_down_exps"].append(get_exps(f"blk.{i}.ffn_down_exps.weight"))
+
+    params = {
+        "tok_emb": get_v("token_embd.weight"),
+        "out_norm": get_v("output_norm.weight"),
+        "layers": {k: np.stack(v) for k, v in layers.items()},
+    }
+    if "output.weight" in reader.tensors:
+        params["output"] = get_t("output.weight")
+    else:
+        params["output"] = params["tok_emb"].T.copy()
+    v = params["output"].shape[1]
+    v_pad = -(-v // 128) * 128
+    if v_pad != v:
+        params["output"] = np.pad(params["output"], ((0, 0), (0, v_pad - v)))
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
+
+
+@dataclass(frozen=True)
+class MoEStatic:
+    n_head: int
+    n_head_kv: int
+    head_dim: int
+    rope_dim: int
+    freq_base: float
+    rms_eps: float
+    act_fn: str
+    n_expert: int
+    n_expert_used: int
+
+    @classmethod
+    def of(cls, cfg: ModelConfig) -> "MoEStatic":
+        return cls(cfg.n_head, cfg.n_head_kv, cfg.head_dim_, cfg.rope_dim_,
+                   cfg.rope_freq_base, cfg.rms_norm_eps, cfg.act_fn,
+                   cfg.n_expert, cfg.n_expert_used)
+
+
+def moe_ffn(h: jnp.ndarray, p: dict, st: MoEStatic) -> jnp.ndarray:
+    """Routed expert FFN: h [B, T, E] → [B, T, E]."""
+    act = _act(st.act_fn)
+    router_logits = h @ p["router"]  # [B, T, n_expert]
+    top_vals, top_idx = jax.lax.top_k(router_logits, st.n_expert_used)
+    gate_w = jax.nn.softmax(top_vals.astype(jnp.float32), axis=-1)  # renormalized over selected
+
+    # dense one-hot mixture weights [B, T, n_expert]
+    onehot = jax.nn.one_hot(top_idx, st.n_expert, dtype=jnp.float32)  # [B,T,k,Ne]
+    mix = jnp.einsum("btke,btk->bte", onehot, gate_w)
+
+    # all-expert computation (masked mixture); expert dim shards over tp/ep
+    g = jnp.einsum("btd,edf->btef", h, p["w_gate_exps"])
+    u = jnp.einsum("btd,edf->btef", h, p["w_up_exps"])
+    expert_out = jnp.einsum("btef,efd->bted", act(g) * u, p["w_down_exps"])
+    return jnp.einsum("bte,bted->btd", mix.astype(h.dtype), expert_out)
+
+
+def forward(params, st: MoEStatic, tokens, positions, slots, cache: KVCache, logits_index):
+    H, Hkv, D = st.n_head, st.n_head_kv, st.head_dim
+    eps = st.rms_eps
+
+    x = params["tok_emb"][tokens]
+    new_positions = jax.vmap(lambda p, s, q: p.at[s].set(q, mode="drop"))(
+        cache.positions, slots, positions
+    )
+
+    def layer_fn(x, scanned):
+        p, k_l, v_l = scanned
+        B, T, E = x.shape
+        h = rms_norm(x, p["attn_norm"], eps)
+        q = (h @ p["wq"]).reshape(B, T, H, D)
+        k = (h @ p["wk"]).reshape(B, T, Hkv, D)
+        v = (h @ p["wv"]).reshape(B, T, Hkv, D)
+        q = apply_rope(q, positions, st.rope_dim, st.freq_base, True)
+        write = jax.vmap(lambda c, s, n: c.at[s].set(n, mode="drop"))
+        k_l = write(k_l, slots, k)
+        v_l = write(v_l, slots, v)
+        attn = attention(q, k_l, v_l, positions, new_positions,
+                         rope_dim=st.rope_dim, freq_base=st.freq_base)
+        x = x + attn.reshape(B, T, H * D) @ p["wo"]
+
+        h2 = rms_norm(x, p["ffn_norm"], eps)
+        x = x + moe_ffn(h2, p, st)
+        return x, (k_l, v_l)
+
+    x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (params["layers"], cache.k, cache.v))
+
+    last_h = jax.vmap(lambda xb, i: xb[i])(x, logits_index)
+    last_h = rms_norm(last_h, params["out_norm"], eps)
+    logits = last_h.astype(jnp.float32) @ params["output"].astype(jnp.float32)
+    logits = logits[:, : params["tok_emb"].shape[0]]
+    return logits, KVCache(k_new, v_new, new_positions)
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(5,))
+def _moe_step(st, params, tokens, positions, slots, cache, logits_index):
+    return forward(params, st, tokens, positions, slots, cache, logits_index)
+
+
+def make_step_fn(cfg: ModelConfig):
+    st = MoEStatic.of(cfg)
+
+    def step(params, tokens, positions, slots, cache, logits_index):
+        return _moe_step(st, params, tokens, positions, slots, cache, logits_index)
+
+    return step
+
+
+def moe_param_specs() -> dict:
+    """Sharding: experts over the tp axis (expert parallelism)."""
+    from jax.sharding import PartitionSpec as P
+
+    return {
+        "tok_emb": P(None, None),
+        "out_norm": P(None),
+        "output": P(None, "tp"),
+        "layers": {
+            "attn_norm": P(None, None),
+            "wq": P(None, None, "tp"),
+            "wk": P(None, None, "tp"),
+            "wv": P(None, None, "tp"),
+            "wo": P(None, "tp", None),
+            "ffn_norm": P(None, None),
+            "router": P(None, None, None),
+            "w_gate_exps": P(None, "tp", None, None),  # [L, Ne, E, F]
+            "w_up_exps": P(None, "tp", None, None),
+            "w_down_exps": P(None, "tp", None, None),
+        },
+    }

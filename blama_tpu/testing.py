@@ -303,3 +303,57 @@ def write_tiny_bert(path: str, seed: int = 99, pooling_type: int = 2) -> None:
         g.add_tensor(f"blk.{i}.layer_output_norm.weight", np.ones(E, np.float32))
         g.add_tensor(f"blk.{i}.layer_output_norm.bias", np.zeros(E, np.float32))
     g.write()
+
+
+def write_tiny_moe(path: str, seed: int = 77, n_expert: int = 4,
+                   n_expert_used: int = 2) -> None:
+    """Tiny Mixtral-architecture GGUF (llama arch + expert FFN tensors)."""
+    E, H, HKV, F, L = 256, 4, 2, 512, 2
+    tokens, scores, types = tiny_spm_vocab()
+    n_vocab = len(tokens)
+    D = E // H
+    rng = np.random.default_rng(seed)
+
+    def w(shape, scale=None):
+        scale = scale if scale is not None else (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    g = GGUFWriter(path)
+    g.add_kv("general.architecture", "llama")
+    g.add_kv("general.name", "tiny-moe-fixture")
+    g.add_kv("llama.block_count", L)
+    g.add_kv("llama.embedding_length", E)
+    g.add_kv("llama.feed_forward_length", F)
+    g.add_kv("llama.attention.head_count", H)
+    g.add_kv("llama.attention.head_count_kv", HKV)
+    g.add_kv("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    g.add_kv("llama.context_length", 512)
+    g.add_kv("llama.rope.freq_base", 10000.0)
+    g.add_kv("llama.rope.dimension_count", D)
+    g.add_kv("llama.expert_count", n_expert)
+    g.add_kv("llama.expert_used_count", n_expert_used)
+    g.add_kv("llama.vocab_size", n_vocab)
+    g.add_kv("tokenizer.ggml.model", "llama")
+    g.add_kv("tokenizer.ggml.tokens", tokens)
+    g.add_kv("tokenizer.ggml.scores", scores)
+    g.add_kv("tokenizer.ggml.token_type", types)
+    g.add_kv("tokenizer.ggml.bos_token_id", 1)
+    g.add_kv("tokenizer.ggml.eos_token_id", 2)
+    g.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    g.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    g.add_tensor("token_embd.weight", w((n_vocab, E), 0.05))
+    g.add_tensor("output_norm.weight", np.ones(E, np.float32))
+    g.add_tensor("output.weight", w((n_vocab, E)))
+    for i in range(L):
+        g.add_tensor(f"blk.{i}.attn_norm.weight", np.ones(E, np.float32))
+        g.add_tensor(f"blk.{i}.attn_q.weight", w((H * D, E)))
+        g.add_tensor(f"blk.{i}.attn_k.weight", w((HKV * D, E)))
+        g.add_tensor(f"blk.{i}.attn_v.weight", w((HKV * D, E)))
+        g.add_tensor(f"blk.{i}.attn_output.weight", w((E, H * D)))
+        g.add_tensor(f"blk.{i}.ffn_norm.weight", np.ones(E, np.float32))
+        g.add_tensor(f"blk.{i}.ffn_gate_inp.weight", w((n_expert, E)))
+        g.add_tensor(f"blk.{i}.ffn_gate_exps.weight", w((n_expert, F, E)))
+        g.add_tensor(f"blk.{i}.ffn_up_exps.weight", w((n_expert, F, E)))
+        g.add_tensor(f"blk.{i}.ffn_down_exps.weight", w((n_expert, E, F)))
+    g.write()
