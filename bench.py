@@ -43,6 +43,7 @@ def main() -> None:
     preset = os.environ.get("BLAMA_BENCH_PRESET", "tinyllama-1.1b")
     n_steps = int(os.environ.get("BLAMA_BENCH_STEPS", "64"))
     n_prompt = int(os.environ.get("BLAMA_BENCH_PROMPT", "128"))
+    wdtype = os.environ.get("BLAMA_BENCH_DTYPE", "q4k_fused")
 
     path = os.path.join("/tmp", f"blama_bench_{preset}.gguf")
     if not os.path.exists(path):
@@ -52,7 +53,7 @@ def main() -> None:
               f"{os.path.getsize(path)/1e9:.2f}GB", file=sys.stderr)
 
     t0 = time.time()
-    model = Model(path, ModelParams(dtype="bfloat16"))
+    model = Model(path, ModelParams(dtype=wdtype))
     load_s = time.time() - t0
     cfg = model.config
     print(f"# load+dequant+upload: {load_s:.1f}s", file=sys.stderr)
@@ -85,7 +86,7 @@ def main() -> None:
     tok_s = n_steps / best
 
     result = {
-        "metric": f"decode_tokens_per_sec_chip_{preset}_q4k_bf16",
+        "metric": f"decode_tokens_per_sec_chip_{preset}_{wdtype}",
         "value": round(tok_s, 2),
         "unit": "tokens/sec/chip",
         "vs_baseline": None,

@@ -24,6 +24,7 @@ from ..gguf.reader import GGUFReader
 from ..ops.attention import attention
 from ..ops.kv_cache import KVCache
 from ..ops.norms import rms_norm
+from ..ops.pallas.quant_matmul import QuantTensor, qmm
 from ..ops.rope import apply_rope
 from .config import ModelConfig
 
@@ -59,14 +60,27 @@ _OPTIONAL_BIASES = {
 }
 
 
-def load_llama_params(reader: GGUFReader, cfg: ModelConfig, dtype=jnp.float32) -> dict[str, Any]:
-    """Load + dequantize llama-family weights into a stacked pytree.
+def load_llama_params(
+    reader: GGUFReader, cfg: ModelConfig, dtype=jnp.float32, fused_quant: bool = False
+) -> dict[str, Any]:
+    """Load llama-family weights into a stacked pytree.
 
     Matmul weights are stored transposed to (n_in, n_out) so forward is
     `x @ w` (ggml keeps (n_out, n_in) rows; we transpose once at load).
-    """
 
-    def get_t(name: str) -> np.ndarray:
+    fused_quant=True keeps Q4_K tensors 4-bit packed (QuantTensor consumed by
+    the Pallas fused dequant-matmul) instead of dequantizing to `dtype` —
+    ~2.7× less HBM traffic on the decode path.
+    """
+    from ..gguf.constants import GGMLType
+
+    def get_t(name: str):
+        if fused_quant and reader.tensors[name].ggml_type == GGMLType.Q4_K:
+            from ..ops.pallas.quant_matmul import repack_q4k_for_tpu
+
+            info = reader.tensors[name]
+            n_rows, row_len = info.ne[1], info.ne[0]
+            return repack_q4k_for_tpu(reader.tensor_bytes(name), n_rows, row_len)
         return reader.tensor_float(name).T.copy()  # (n_in, n_out)
 
     def get_v(name: str) -> np.ndarray:
@@ -91,10 +105,20 @@ def load_llama_params(reader: GGUFReader, cfg: ModelConfig, dtype=jnp.float32) -
             for key, pat in _OPTIONAL_BIASES.items():
                 layers[key].append(get_v(pat.format(i=i)))
 
+    def stack(vs):
+        if isinstance(vs[0], QuantTensor):
+            return QuantTensor(
+                jnp.stack([v.codes for v in vs]),
+                jnp.stack([v.scales for v in vs]),
+                jnp.stack([v.mins for v in vs]),
+                n_out=vs[0].n_out,
+            )
+        return np.stack(vs)
+
     params = {
         "tok_emb": get_v("token_embd.weight"),  # (V, E)
         "out_norm": get_v("output_norm.weight"),
-        "layers": {k: np.stack(v) for k, v in layers.items()},
+        "layers": {k: stack(v) for k, v in layers.items()},
     }
     if "output.weight" in reader.tensors:
         params["output"] = get_t("output.weight")  # (E, V)
@@ -103,13 +127,20 @@ def load_llama_params(reader: GGUFReader, cfg: ModelConfig, dtype=jnp.float32) -
 
     # pad the vocab dim of the output head to a multiple of 128: TPU-friendly
     # lane tiling AND exact divisibility for vocab-sharded tensor parallelism.
-    # forward() slices logits back to the true vocab size.
-    v = params["output"].shape[1]
-    v_pad = -(-v // 128) * 128
-    if v_pad != v:
-        params["output"] = np.pad(params["output"], ((0, 0), (0, v_pad - v)))
+    # forward() slices logits back to the true vocab size. (QuantTensors pad
+    # internally at repack time.)
+    if not isinstance(params["output"], QuantTensor):
+        v = params["output"].shape[1]
+        v_pad = -(-v // 128) * 128
+        if v_pad != v:
+            params["output"] = np.pad(params["output"], ((0, 0), (0, v_pad - v)))
 
-    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
+    def conv(a):
+        return a if isinstance(a, QuantTensor) else jnp.asarray(a, dtype)
+
+    return jax.tree_util.tree_map(
+        conv, params, is_leaf=lambda x: isinstance(x, QuantTensor)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -171,9 +202,9 @@ def forward(
         B, T, E = x.shape
 
         h = rms_norm(x, p["attn_norm"], eps)
-        q = h @ p["wq"]
-        k = h @ p["wk"]
-        v = h @ p["wv"]
+        q = qmm(h, p["wq"])
+        k = qmm(h, p["wk"])
+        v = qmm(h, p["wv"])
         if "bq" in p:
             q = q + p["bq"]
             k = k + p["bk"]
@@ -194,11 +225,11 @@ def forward(
             rope_dim=rope_dim, freq_base=freq_base,
             interleaved=interleaved, causal=cfg.causal,
         )
-        x = x + attn.reshape(B, T, H * D) @ p["wo"]
+        x = x + qmm(attn.reshape(B, T, H * D), p["wo"])
 
         h2 = rms_norm(x, p["ffn_norm"], eps)
-        gate = act(h2 @ p["w_gate"])
-        x = x + (gate * (h2 @ p["w_up"])) @ p["w_down"]
+        gate = act(qmm(h2, p["w_gate"]))
+        x = x + qmm(gate * qmm(h2, p["w_up"]), p["w_down"])
         if "cvec" in p:
             # control-vector steering: per-layer residual bias
             # (llama_apply_adapter_cvec analog, Instance.cpp:73-84)
@@ -213,7 +244,10 @@ def forward(
     last_h = rms_norm(last_h, params["out_norm"], eps)
     if return_hidden:
         return last_h, KVCache(k_new, v_new, new_positions)
-    logits = (last_h.astype(jnp.float32) @ params["output"].astype(jnp.float32))
+    if isinstance(params["output"], QuantTensor):
+        logits = qmm(last_h.astype(jnp.float32), params["output"])
+    else:
+        logits = last_h.astype(jnp.float32) @ params["output"].astype(jnp.float32)
     n_vocab = params["tok_emb"].shape[0]
     logits = logits[:, :n_vocab]  # drop vocab padding (see load_llama_params)
 

@@ -28,7 +28,7 @@ class ModelParams:
 
     vocab_only: bool = False
     prefix_inputs_with_bos: bool = False
-    dtype: str = "float32"           # float32 | bfloat16
+    dtype: str = "float32"           # float32 | bfloat16 | q4k_fused
     mesh: object = None              # jax Mesh for sharded load (parallel/)
     sharding_rules: object = None
 
@@ -45,7 +45,8 @@ class Model:
             self.weights = self._load_weights(progress_cb)
 
     def _load_weights(self, progress_cb: ModelLoadProgressCb | None):
-        dtype = jnp.bfloat16 if self.params.dtype == "bfloat16" else jnp.float32
+        fused = self.params.dtype == "q4k_fused"
+        dtype = jnp.bfloat16 if self.params.dtype in ("bfloat16", "q4k_fused") else jnp.float32
         arch = self.config.arch
         if progress_cb:
             progress_cb(0.0)
@@ -58,7 +59,7 @@ class Model:
             else:
                 from ..models.llama import load_llama_params
 
-                w = load_llama_params(self.reader, self.config, dtype)
+                w = load_llama_params(self.reader, self.config, dtype, fused_quant=fused)
         elif arch == "gpt2":
             from ..models.gpt2 import load_gpt2_params
 

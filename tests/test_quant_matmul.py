@@ -1,0 +1,102 @@
+"""Fused Q4_K dequant-matmul kernel tests (interpret mode on CPU; the same
+kernel compiles to Mosaic on TPU — exercised by bench.py and the fused-mode
+session test below)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from blama_tpu.gguf import GGMLType, quants
+from blama_tpu.ops.pallas.quant_matmul import (
+    QuantTensor,
+    q4k_matmul,
+    qmm,
+    repack_q4k_for_tpu,
+    unpack_q4k_arrays,
+)
+
+
+@pytest.fixture(scope="module")
+def packed_weight():
+    rng = np.random.default_rng(0)
+    N, K = 512, 512
+    wf = rng.standard_normal((N, K)).astype(np.float32) * 0.05
+    packed = quants.quantize(wf, GGMLType.Q4_K)
+    w_exact = quants.dequantize(packed, GGMLType.Q4_K, (N, K))
+    return packed, w_exact, N, K
+
+
+def test_unpack_matches_dequant(packed_weight):
+    packed, w_exact, N, K = packed_weight
+    codes, scales, mins = unpack_q4k_arrays(packed, N, K)
+    groups = np.repeat(np.arange(K // 32), 32)
+    recon = codes.astype(np.float32) * scales[:, groups] - mins[:, groups]
+    np.testing.assert_array_equal(recon, w_exact)  # bitwise: f32 d·sc path
+
+
+def test_kernel_matches_exact_dequant_matmul(packed_weight):
+    packed, w_exact, N, K = packed_weight
+    qt = repack_q4k_for_tpu(packed, N, K)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((8, K)).astype(np.float32)
+    y = np.asarray(q4k_matmul(jnp.asarray(x), qt))
+    y_ref = x @ w_exact.T
+    np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_padding_of_nonaligned_n(packed_weight):
+    rng = np.random.default_rng(2)
+    N, K = 384, 256  # N not a multiple of 256
+    wf = rng.standard_normal((N, K)).astype(np.float32) * 0.05
+    packed = quants.quantize(wf, GGMLType.Q4_K)
+    w_exact = quants.dequantize(packed, GGMLType.Q4_K, (N, K))
+    qt = repack_q4k_for_tpu(packed, N, K)
+    assert qt.codes.shape[1] == 512  # padded
+    assert qt.n_out == 384
+    x = rng.standard_normal((4, K)).astype(np.float32)
+    y = np.asarray(qmm(jnp.asarray(x), qt))
+    assert y.shape == (4, 384)
+    np.testing.assert_allclose(y, x @ w_exact.T, rtol=1e-5, atol=1e-5)
+
+
+def test_batch_invariance(packed_weight):
+    """Row b of a B=4 batch equals the same row run with B=1 — decode results
+    must not depend on batching (verification requirement, SURVEY.md §7.3)."""
+    packed, w_exact, N, K = packed_weight
+    qt = repack_q4k_for_tpu(packed, N, K)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, K)).astype(np.float32)
+    y_batch = np.asarray(q4k_matmul(jnp.asarray(x), qt))
+    import jax
+
+    exact = jax.default_backend() == "tpu"  # CPU interpret-mode BLAS reassociates
+    for b in range(4):
+        y_solo = np.asarray(q4k_matmul(jnp.asarray(x[b: b + 1]), qt))
+        if exact:
+            np.testing.assert_array_equal(y_batch[b], y_solo[0])
+        else:
+            np.testing.assert_allclose(y_batch[b], y_solo[0], rtol=1e-6, atol=1e-6)
+
+
+def test_fused_session_matches_dequant_session(tmp_path):
+    """End-to-end: q4k_fused weights generate the same greedy tokens as the
+    dequant-at-load float path on the tiny fixture."""
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "t.gguf")
+    write_tiny_llama(p, GGMLType.Q4_K)
+
+    def run(dtype):
+        m = Model(p, ModelParams(dtype=dtype))
+        inst = Instance(m, InstanceInitParams(ctx_size=64))
+        s = inst.start_session(SessionInitParams(seed=1, temperature=0.0))
+        s.set_initial_prompt(m.vocab.tokenize("hello world", True, True))
+        preds = s.complete(CompleteParams(max_tokens=5))
+        inst.stop_session()
+        m.close()
+        return [pr.token for pr in preds]
+
+    assert run("bfloat16") == run("q4k_fused")
