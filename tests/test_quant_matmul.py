@@ -75,7 +75,7 @@ def test_batch_invariance(packed_weight):
         if exact:
             np.testing.assert_array_equal(y_batch[b], y_solo[0])
         else:
-            np.testing.assert_allclose(y_batch[b], y_solo[0], rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(y_batch[b], y_solo[0], rtol=1e-3, atol=2e-6)
 
 
 def test_fused_session_matches_dequant_session(tmp_path):
