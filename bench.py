@@ -43,7 +43,10 @@ def main() -> None:
     preset = os.environ.get("BLAMA_BENCH_PRESET", "tinyllama-1.1b")
     n_steps = int(os.environ.get("BLAMA_BENCH_STEPS", "64"))
     n_prompt = int(os.environ.get("BLAMA_BENCH_PROMPT", "128"))
-    wdtype = os.environ.get("BLAMA_BENCH_DTYPE", "q4k_fused")
+    # bf16 default: the fused q4k kernel currently trails bf16 on models that
+    # fit in HBM (VPU-bound unpack; int8-MXU path is the planned fix) — its
+    # value today is fitting 8B-class models in 16GB (6 vs 16 bits/weight).
+    wdtype = os.environ.get("BLAMA_BENCH_DTYPE", "bfloat16")
 
     path = os.path.join("/tmp", f"blama_bench_{preset}.gguf")
     if not os.path.exists(path):

@@ -1,0 +1,121 @@
+"""Continuous-batching scheduler tests: multi-request correctness, per-request
+seeds, batch-vs-solo agreement, and metrics (SURVEY.md §7.2 step 8)."""
+
+import numpy as np
+import pytest
+
+from blama_tpu.gguf import GGMLType
+from blama_tpu.runtime.instance import Instance, InstanceInitParams
+from blama_tpu.runtime.model import Model
+from blama_tpu.runtime.sampler import SamplerParams
+from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+from blama_tpu.server.scheduler import ContinuousBatchingScheduler, GenRequest
+from blama_tpu.testing import write_tiny_llama
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("s") / "t.gguf")
+    write_tiny_llama(p, GGMLType.Q8_0)
+    m = Model(p)
+    yield m
+    m.close()
+
+
+def greedy_params():
+    return SamplerParams(temp=0.0)
+
+
+def _solo_reference(model, prompt_text, n):
+    inst = Instance(model, InstanceInitParams(ctx_size=64))
+    s = inst.start_session(SessionInitParams(seed=0, temperature=0.0))
+    s.set_initial_prompt(model.vocab.tokenize(prompt_text, True, True))
+    preds = s.complete(CompleteParams(max_tokens=n))
+    inst.stop_session()
+    return [p.token for p in preds]
+
+
+def test_multi_request_matches_solo(model):
+    """Batched decode of several concurrent prompts produces the same greedy
+    tokens as solo Sessions (batch independence of cache rows)."""
+    prompts = ["hello world", "the cat sat", "president george"]
+    sched = ContinuousBatchingScheduler(model, max_batch=4, ctx_size=64)
+    results = {}
+
+    def make_done(p):
+        def done(preds):
+            results[p] = [t.token for t in preds]
+        return done
+
+    for p in prompts:
+        sched.submit(GenRequest(
+            prompt=model.vocab.tokenize(p, True, True),
+            max_tokens=6,
+            sampler_params=greedy_params(),
+            on_done=make_done(p),
+        ))
+    sched.run_until_idle()
+
+    for p in prompts:
+        solo = _solo_reference(model, p, 6)
+        assert results[p] == solo, f"prompt {p!r}: batched {results[p]} != solo {solo}"
+
+
+def test_more_requests_than_batch(model):
+    sched = ContinuousBatchingScheduler(model, max_batch=2, ctx_size=64)
+    done = []
+    for i in range(5):
+        sched.submit(GenRequest(
+            prompt=model.vocab.tokenize("hello", True, True),
+            max_tokens=3,
+            sampler_params=greedy_params(),
+            on_done=lambda preds, i=i: done.append((i, [t.token for t in preds])),
+        ))
+    sched.run_until_idle()
+    assert len(done) == 5
+    outs = [toks for _, toks in done]
+    assert all(o == outs[0] for o in outs)  # identical prompts → identical greedy
+
+
+def test_per_request_seeds(model):
+    sched = ContinuousBatchingScheduler(model, max_batch=4, ctx_size=64)
+    res = {}
+    for name, seed in [("a", 1), ("b", 1), ("c", 2)]:
+        sched.submit(GenRequest(
+            prompt=model.vocab.tokenize("hello", True, True),
+            max_tokens=8,
+            sampler_params=SamplerParams(temp=1.5, top_p=1.0, rng_seed=seed),
+            on_done=lambda p, n=name: res.__setitem__(n, [t.token for t in p]),
+        ))
+    sched.run_until_idle()
+    assert res["a"] == res["b"]
+    assert res["a"] != res["c"]
+
+
+def test_streaming_callbacks_and_metrics(model):
+    sched = ContinuousBatchingScheduler(model, max_batch=2, ctx_size=64)
+    streamed = []
+    sched.submit(GenRequest(
+        prompt=model.vocab.tokenize("hello world", True, True),
+        max_tokens=4,
+        sampler_params=greedy_params(),
+        on_token=lambda p: streamed.append(p.token),
+    ))
+    sched.run_until_idle()
+    assert len(streamed) >= 1
+    snap = sched.metrics.snapshot()
+    assert snap["tokens_decoded"] >= len(streamed)
+    assert snap["tokens_prefilled"] > 0
+    assert "decode_step" in snap["timers"]
+    assert len(streamed[: 4]) == len(streamed)
+    # top-10 capture present on streamed predictions
+    sched2 = ContinuousBatchingScheduler(model, max_batch=1, ctx_size=64)
+    caught = []
+    sched2.submit(GenRequest(
+        prompt=model.vocab.tokenize("hello", True, True),
+        max_tokens=2,
+        sampler_params=greedy_params(),
+        on_token=lambda p: caught.append(p),
+    ))
+    sched2.run_until_idle()
+    assert all(len(p.logits) == 10 for p in caught)
