@@ -485,6 +485,14 @@ def dequantize(data: np.ndarray, t: GGMLType, shape: tuple[int, ...]) -> np.ndar
     n_elements = int(np.prod(shape)) if shape else 1
     row_len = shape[-1] if shape else 1
     n_rows = n_elements // row_len
+    if t in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0):
+        # threaded C++ fast path (bit-identical to the numpy reference; both
+        # are covered by tests/test_native.py)
+        from .. import native
+
+        out = native.native_dequantize(t.name, data, n_elements)
+        if out is not None:
+            return out.reshape(shape)
     if t == GGMLType.F32:
         return data.view(np.float32).reshape(shape).astype(np.float32)
     if t == GGMLType.F16:

@@ -95,6 +95,15 @@ def unpack_q4k_arrays(data: np.ndarray, n_rows: int, row_len: int):
 
 def repack_q4k_for_tpu(data: np.ndarray, n_rows: int, row_len: int) -> QuantTensor:
     """GGUF Q4_K tensor bytes → TPU-layout QuantTensor (transposed to K-major)."""
+    from ... import native
+
+    fast = native.native_repack_q4k(data, n_rows, row_len)
+    if fast is not None:
+        codes_packed, scales, mins, _ = fast
+        return QuantTensor(
+            jnp.asarray(codes_packed), jnp.asarray(scales), jnp.asarray(mins),
+            n_out=n_rows,
+        )
     codes, scales, mins = unpack_q4k_arrays(data, n_rows, row_len)
     K, N = row_len, n_rows
     codes = np.ascontiguousarray(codes.T)     # [K, N]
