@@ -42,6 +42,11 @@ def tiny_spm_vocab() -> tuple[list[str], list[float], list[int]]:
             tokens.append(frag)
             types.append(TT_NORMAL)
             scores.append(-20.0)
+    # FIM (fill-in-middle) control tokens
+    for t in ["<|fim_pre|>", "<|fim_suf|>", "<|fim_mid|>"]:
+        tokens.append(t)
+        types.append(TT_CONTROL)
+        scores.append(0.0)
     return tokens, scores, types
 
 
@@ -101,6 +106,9 @@ def write_tiny_llama(
     g.add_kv("tokenizer.ggml.unknown_token_id", 0)
     g.add_kv("tokenizer.ggml.add_bos_token", True)
     g.add_kv("tokenizer.ggml.add_space_prefix", True)
+    g.add_kv("tokenizer.ggml.fim_pre_token_id", tokens.index("<|fim_pre|>"))
+    g.add_kv("tokenizer.ggml.fim_suf_token_id", tokens.index("<|fim_suf|>"))
+    g.add_kv("tokenizer.ggml.fim_mid_token_id", tokens.index("<|fim_mid|>"))
     if chat_template:
         g.add_kv("tokenizer.chat_template", chat_template)
 
@@ -356,4 +364,94 @@ def write_tiny_moe(path: str, seed: int = 77, n_expert: int = 4,
         g.add_tensor(f"blk.{i}.ffn_gate_exps.weight", w((n_expert, F, E)))
         g.add_tensor(f"blk.{i}.ffn_up_exps.weight", w((n_expert, F, E)))
         g.add_tensor(f"blk.{i}.ffn_down_exps.weight", w((n_expert, E, F)))
+    g.write()
+
+
+def tiny_bpe_vocab() -> tuple[list[str], list[str], list[int]]:
+    """GPT-2 style byte-level BPE vocab: 256 byte-unicode chars + merge chains
+    for 'hello'/'world' (with and without leading space)."""
+    from .runtime.vocab import _bytes_to_unicode
+
+    byte_enc = _bytes_to_unicode()
+    tokens = [byte_enc[b] for b in range(256)]
+    types = [TT_NORMAL] * 256
+    merges = []
+
+    def add_word(word: str):
+        """Add merge rules until `word` tokenizes to one piece, simulating
+        BPE with the rules added so far (keeps ranks globally consistent)."""
+        mapped = "".join(byte_enc[b] for b in word.encode())
+        ranks = {tuple(m.split(" ")): i for i, m in enumerate(merges)}
+        parts = list(mapped)
+        while len(parts) > 1:
+            best = min(
+                ((ranks.get((a, b)), i) for i, (a, b) in enumerate(zip(parts, parts[1:]))
+                 if (a, b) in ranks),
+                default=None,
+            )
+            if best is None:
+                merges.append(f"{parts[0]} {parts[1]}")
+                ranks[(parts[0], parts[1])] = len(merges) - 1
+                best = (len(merges) - 1, 0)
+            _, i = best
+            merged = parts[i] + parts[i + 1]
+            parts[i: i + 2] = [merged]
+            if merged not in tokens:
+                tokens.append(merged)
+                types.append(TT_NORMAL)
+
+    for w in ["hello", "world", " hello", " world", "he", " the"]:
+        add_word(w)
+    tokens.append("<|endoftext|>")
+    types.append(TT_CONTROL)
+    return tokens, merges, types
+
+
+def write_tiny_gpt2(path: str, seed: int = 55) -> None:
+    """Tiny GPT-2 architecture GGUF (the reference's default model family is
+    gpt2-117m Q6_K, HttpServerMain.cpp:379-381)."""
+    E, H, L = 128, 4, 2
+    F = 4 * E
+    n_ctx = 128
+    tokens, merges, types = tiny_bpe_vocab()
+    n_vocab = len(tokens)
+    rng = np.random.default_rng(seed)
+
+    def w(shape, scale=None):
+        scale = scale if scale is not None else (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    g = GGUFWriter(path)
+    g.add_kv("general.architecture", "gpt2")
+    g.add_kv("gpt2.block_count", L)
+    g.add_kv("gpt2.embedding_length", E)
+    g.add_kv("gpt2.feed_forward_length", F)
+    g.add_kv("gpt2.attention.head_count", H)
+    g.add_kv("gpt2.attention.layer_norm_epsilon", 1e-5)
+    g.add_kv("gpt2.context_length", n_ctx)
+    g.add_kv("gpt2.vocab_size", n_vocab)
+    g.add_kv("tokenizer.ggml.model", "gpt2")
+    g.add_kv("tokenizer.ggml.tokens", tokens)
+    g.add_kv("tokenizer.ggml.token_type", types)
+    g.add_kv("tokenizer.ggml.merges", merges)
+    g.add_kv("tokenizer.ggml.bos_token_id", n_vocab - 1)
+    g.add_kv("tokenizer.ggml.eos_token_id", n_vocab - 1)
+
+    g.add_tensor("token_embd.weight", w((n_vocab, E), 0.05))
+    g.add_tensor("position_embd.weight", w((n_ctx, E), 0.02))
+    g.add_tensor("output_norm.weight", np.ones(E, np.float32))
+    g.add_tensor("output_norm.bias", np.zeros(E, np.float32))
+    for i in range(L):
+        g.add_tensor(f"blk.{i}.attn_norm.weight", np.ones(E, np.float32))
+        g.add_tensor(f"blk.{i}.attn_norm.bias", np.zeros(E, np.float32))
+        g.add_tensor(f"blk.{i}.attn_qkv.weight", w((3 * E, E)))
+        g.add_tensor(f"blk.{i}.attn_qkv.bias", np.zeros(3 * E, np.float32))
+        g.add_tensor(f"blk.{i}.attn_output.weight", w((E, E)))
+        g.add_tensor(f"blk.{i}.attn_output.bias", np.zeros(E, np.float32))
+        g.add_tensor(f"blk.{i}.ffn_norm.weight", np.ones(E, np.float32))
+        g.add_tensor(f"blk.{i}.ffn_norm.bias", np.zeros(E, np.float32))
+        g.add_tensor(f"blk.{i}.ffn_up.weight", w((F, E)))
+        g.add_tensor(f"blk.{i}.ffn_up.bias", np.zeros(F, np.float32))
+        g.add_tensor(f"blk.{i}.ffn_down.weight", w((E, F)))
+        g.add_tensor(f"blk.{i}.ffn_down.bias", np.zeros(E, np.float32))
     g.write()

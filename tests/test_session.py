@@ -282,3 +282,39 @@ def test_empty_prompt_uses_bos(model, instance):
     preds = s.complete(CompleteParams(max_tokens=2))
     instance.stop_session()
     assert len(preds) >= 1
+
+
+def test_fim_infill_assembly(model, instance, monkeypatch):
+    """pushPrompt with a postfix assembles FIM framing:
+    [pre] prefix [suf] suffix [mid] (Session.cpp:142-159)."""
+    v = model.vocab
+    assert v.fim_pre() >= 0 and v.fim_suf() >= 0 and v.fim_mid() >= 0
+    s = instance.start_session(greedy())
+    s.set_initial_prompt(v.tokenize("hello", True, True))
+
+    decoded: list[int] = []
+    orig = s._do_decode
+
+    def spy(tokens, generated):
+        decoded.extend(tokens)
+        return orig(tokens, generated)
+
+    monkeypatch.setattr(s, "_do_decode", spy)
+    prefix = v.tokenize("the cat", False, False)
+    suffix = v.tokenize("sat", False, False)
+    s.push_prompt(prefix, suffix)
+    expected = [v.fim_pre()] + prefix + [v.fim_suf()] + suffix + [v.fim_mid()]
+    assert decoded == expected
+    instance.stop_session()
+
+
+def test_suffix_via_complete_params(model, instance):
+    s = instance.start_session(greedy())
+    s.set_initial_prompt(model.vocab.tokenize("hello", True, True))
+    preds = s.complete(CompleteParams(
+        prompt=model.vocab.tokenize("the", False, False),
+        suffix=model.vocab.tokenize("cat", False, False),
+        max_tokens=3,
+    ))
+    assert len(preds) >= 1
+    instance.stop_session()
