@@ -22,10 +22,10 @@ import numpy as np
 
 from ..gguf.reader import GGUFReader
 from ..ops.attention import attention
-from ..ops.kv_cache import KVCache
+from ..ops.kv_cache import KVCache, dequantize_kv, quantize_kv
 from ..ops.norms import rms_norm
 from ..ops.pallas.quant_matmul import QuantTensor, qmm
-from ..ops.rope import apply_rope
+from ..ops.rope import apply_rope, rope_angles
 from .config import ModelConfig
 
 
@@ -197,8 +197,12 @@ def forward(
     act = _act(cfg.act_fn)
     eps = cfg.rms_eps
 
+    # hoist RoPE trig out of the layer scan (computed once, reused L times)
+    q_rope = rope_angles(positions, rope_dim, freq_base)
+    kv_rope = rope_angles(jnp.maximum(new_positions, 0), rope_dim, freq_base)
+
     def layer_fn(x, scanned):
-        p, k_l, v_l = scanned  # k_l/v_l: [B, S, Hkv, D]
+        p, k_l, v_l, ks_l, vs_l = scanned  # k_l/v_l: [B, S, Hkv, D]
         B, T, E = x.shape
 
         h = rms_norm(x, p["attn_norm"], eps)
@@ -213,17 +217,30 @@ def forward(
         k = k.reshape(B, T, Hkv, D)
         v = v.reshape(B, T, Hkv, D)
 
-        q = apply_rope(q, positions, rope_dim, freq_base, interleaved)
+        q = apply_rope(q, positions, rope_dim, freq_base, interleaved, cos_sin=q_rope)
 
         # write unrotated K and V into cache slots (pad slots are dropped)
         write = jax.vmap(lambda c, s, n: c.at[s].set(n, mode="drop"))
-        k_l = write(k_l, slots, k)
-        v_l = write(v_l, slots, v)
+        if ks_l is not None:
+            # INT8 KV: per-(token, head) max-abs quantization on write,
+            # dequant on read (deterministic; BASELINE.json north star)
+            k_codes, k_sc = quantize_kv(k)
+            v_codes, v_sc = quantize_kv(v)
+            k_l = write(k_l, slots, k_codes)
+            v_l = write(v_l, slots, v_codes)
+            ks_l = write(ks_l, slots, k_sc)
+            vs_l = write(vs_l, slots, v_sc)
+            k_use = dequantize_kv(k_l, ks_l, x.dtype)
+            v_use = dequantize_kv(v_l, vs_l, x.dtype)
+        else:
+            k_l = write(k_l, slots, k)
+            v_l = write(v_l, slots, v)
+            k_use, v_use = k_l, v_l
 
         attn = attention(
-            q, k_l, v_l, positions, new_positions,
+            q, k_use, v_use, positions, new_positions,
             rope_dim=rope_dim, freq_base=freq_base,
-            interleaved=interleaved, causal=cfg.causal,
+            interleaved=interleaved, causal=cfg.causal, kv_rope=kv_rope,
         )
         x = x + qmm(attn.reshape(B, T, H * D), p["wo"])
 
@@ -234,24 +251,31 @@ def forward(
             # control-vector steering: per-layer residual bias
             # (llama_apply_adapter_cvec analog, Instance.cpp:73-84)
             x = x + p["cvec"]
-        return x, (k_l, v_l)
+        return x, (k_l, v_l, ks_l, vs_l)
 
-    x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (params["layers"], cache.k, cache.v))
+    x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+        layer_fn, x, (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+    )
 
     if logits_index is None:
         logits_index = jnp.full((tokens.shape[0],), tokens.shape[1] - 1, jnp.int32)
     last_h = jax.vmap(lambda xb, i: xb[i])(x, logits_index)  # [B, E]
     last_h = rms_norm(last_h, params["out_norm"], eps)
+    new_cache = KVCache(k_new, v_new, new_positions, ks_new, vs_new)
     if return_hidden:
-        return last_h, KVCache(k_new, v_new, new_positions)
+        return last_h, new_cache
     if isinstance(params["output"], QuantTensor):
         logits = qmm(last_h.astype(jnp.float32), params["output"])
     else:
-        logits = last_h.astype(jnp.float32) @ params["output"].astype(jnp.float32)
+        # keep operands in weight dtype (bf16 reads from HBM), accumulate f32
+        logits = jnp.dot(
+            last_h.astype(params["output"].dtype), params["output"],
+            preferred_element_type=jnp.float32,
+        )
     n_vocab = params["tok_emb"].shape[0]
     logits = logits[:, :n_vocab]  # drop vocab padding (see load_llama_params)
 
-    return logits, KVCache(k_new, v_new, new_positions)
+    return logits, new_cache
 
 
 @partial(jax.jit, static_argnums=(0,))

@@ -28,13 +28,15 @@ def attention(
     interleaved: bool = True,
     causal: bool = True,
     logit_scale: float | None = None,
+    kv_rope: tuple | None = None,  # precomputed (cos, sin) for kv positions
 ) -> jnp.ndarray:
     B, T, H, D = q.shape
     S = k_cache.shape[1]
     Hkv = k_cache.shape[2]
     group = H // Hkv
 
-    k = apply_rope(k_cache, jnp.maximum(kv_pos, 0), rope_dim, freq_base, interleaved)
+    k = apply_rope(k_cache, jnp.maximum(kv_pos, 0), rope_dim, freq_base,
+                   interleaved, cos_sin=kv_rope)
 
     scale = logit_scale if logit_scale is not None else 1.0 / (D**0.5)
 

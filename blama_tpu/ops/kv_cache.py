@@ -19,7 +19,7 @@ SURVEY.md §3.3).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 
 import jax
@@ -30,12 +30,19 @@ import numpy as np
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    k: jnp.ndarray          # [L, B, S, H_kv, D] unrotated keys
+    """KV store. In float mode k/v hold values directly; in INT8 mode they
+    hold int8 codes with per-(slot, head) max-abs scales (k_scale/v_scale,
+    f32 [L, B, S, H_kv]) — deterministic symmetric quantization, the
+    north-star INT8 KV-cache (BASELINE.json)."""
+
+    k: jnp.ndarray          # [L, B, S, H_kv, D] unrotated keys (values or int8 codes)
     v: jnp.ndarray          # [L, B, S, H_kv, D]
     positions: jnp.ndarray  # [B, S] int32; -1 = empty
+    k_scale: jnp.ndarray | None = None  # [L, B, S, H_kv] f32 (int8 mode)
+    v_scale: jnp.ndarray | None = None
 
     def tree_flatten(self):
-        return (self.k, self.v, self.positions), None
+        return (self.k, self.v, self.positions, self.k_scale, self.v_scale), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -45,9 +52,21 @@ class KVCache:
     def n_slots(self) -> int:
         return self.k.shape[2]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
     @classmethod
     def create(cls, n_layer: int, batch: int, n_slots: int, n_kv_head: int, head_dim: int, dtype=jnp.bfloat16):
         shape = (n_layer, batch, n_slots, n_kv_head, head_dim)
+        if dtype in (jnp.int8, "int8"):
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                positions=jnp.full((batch, n_slots), -1, jnp.int32),
+                k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            )
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -55,9 +74,22 @@ class KVCache:
         )
 
 
+def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, T, H, D] → (int8 codes, f32 scales [B, T, H]); max-abs symmetric."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+    codes = jnp.round(x.astype(jnp.float32) * inv[..., None]).astype(jnp.int8)
+    return codes, scale
+
+
+def dequantize_kv(codes: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    return (codes.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
 def clear(cache: KVCache) -> KVCache:
     """llama_kv_self_clear: mark all slots empty (data left in place)."""
-    return KVCache(cache.k, cache.v, jnp.full_like(cache.positions, -1))
+    return replace(cache, positions=jnp.full_like(cache.positions, -1))
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -67,7 +99,7 @@ def seq_rm(cache: KVCache, p0: jnp.ndarray, p1: jnp.ndarray) -> KVCache:
     p0 = jnp.where(p0 < 0, jnp.iinfo(jnp.int32).min, p0)
     p1 = jnp.where(p1 < 0, jnp.iinfo(jnp.int32).max, p1)
     hit = (pos >= p0) & (pos < p1) & (pos >= 0)
-    return KVCache(cache.k, cache.v, jnp.where(hit, -1, pos))
+    return replace(cache, positions=jnp.where(hit, -1, pos))
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -79,7 +111,7 @@ def seq_add(cache: KVCache, p0: jnp.ndarray, p1: jnp.ndarray, delta: jnp.ndarray
     hit = (pos >= p0) & (pos < p1) & (pos >= 0)
     shifted = jnp.where(hit, pos + delta, pos)
     shifted = jnp.where(shifted < 0, -1, shifted)
-    return KVCache(cache.k, cache.v, shifted)
+    return replace(cache, positions=shifted)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -88,7 +120,7 @@ def seq_div(cache: KVCache, p0: jnp.ndarray, p1: jnp.ndarray, divisor: jnp.ndarr
     pos = cache.positions
     p1 = jnp.where(p1 < 0, jnp.iinfo(jnp.int32).max, p1)
     hit = (pos >= p0) & (pos < p1) & (pos >= 0)
-    return KVCache(cache.k, cache.v, jnp.where(hit, pos // divisor, pos))
+    return replace(cache, positions=jnp.where(hit, pos // divisor, pos))
 
 
 class SlotAllocator:

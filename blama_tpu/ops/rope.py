@@ -34,13 +34,18 @@ def apply_rope(
     freq_base: float,
     interleaved: bool = True,
     scale: float = 1.0,
+    cos_sin: tuple | None = None,
 ) -> jnp.ndarray:
     """x: [..., T, H, D] (positions broadcastable to [..., T]). Rotates the
-    first `rope_dim` dims of D; the rest pass through."""
+    first `rope_dim` dims of D; the rest pass through. Pass `cos_sin` to
+    reuse precomputed angles (hoisted out of the layer scan)."""
     if rope_dim == 0:  # non-rotary models (gpt2/bert)
         return x
     dtype = x.dtype
-    cos, sin = rope_angles(positions, rope_dim, freq_base, scale)  # [..., T, half]
+    if cos_sin is not None:
+        cos, sin = cos_sin
+    else:
+        cos, sin = rope_angles(positions, rope_dim, freq_base, scale)  # [..., T, half]
     cos = cos[..., None, :]  # [..., T, 1, half]
     sin = sin[..., None, :]
     rot = x[..., :rope_dim].astype(jnp.float32)

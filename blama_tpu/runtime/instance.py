@@ -59,7 +59,7 @@ class Instance:
         self.batch_size = self.params.batch_size
         self.ubatch_size = min(self.params.ubatch_size, self.batch_size)
 
-        kv_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.params.kv_dtype]
+        kv_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": "int8"}[self.params.kv_dtype]
         self.cache = kvc.KVCache.create(
             cfg.n_layer, 1, self.ctx_len, cfg.n_head_kv, cfg.head_dim_, kv_dtype
         )
@@ -148,17 +148,19 @@ class Instance:
         self.allocator.apply_div(p0, p1, divisor)
 
     def cache_host(self):
-        return (
-            np.asarray(self.cache.k),
-            np.asarray(self.cache.v),
-            np.asarray(self.cache.positions),
+        c = self.cache
+        scales = (
+            (np.asarray(c.k_scale), np.asarray(c.v_scale)) if c.quantized else (None, None)
         )
+        return (np.asarray(c.k), np.asarray(c.v), np.asarray(c.positions)) + scales
 
-    def restore_cache(self, k, v, pos) -> None:
+    def restore_cache(self, k, v, pos, k_scale=None, v_scale=None) -> None:
         self.cache = kvc.KVCache(
             jnp.asarray(k, self.cache.k.dtype),
             jnp.asarray(v, self.cache.v.dtype),
             jnp.asarray(pos, jnp.int32),
+            jnp.asarray(k_scale, jnp.float32) if k_scale is not None else None,
+            jnp.asarray(v_scale, jnp.float32) if v_scale is not None else None,
         )
 
     # -- decode ---------------------------------------------------------------

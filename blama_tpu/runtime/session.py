@@ -266,10 +266,13 @@ class Session:
         self._flush_pending()
         buf = io.BytesIO()
         inst = self._instance
-        k, v, pos = inst.cache_host()
+        k, v, pos, k_scale, v_scale = inst.cache_host()
+        extra = {}
+        if k_scale is not None:
+            extra = {"k_scale": k_scale, "v_scale": v_scale}
         np.savez(
             buf,
-            k=k, v=v, pos=pos,
+            k=k, v=v, pos=pos, **extra,
             host_positions=inst.allocator.host_positions,
             cursor=np.int64(inst.allocator._cursor),
             num_past=np.int64(self._num_past),
@@ -284,7 +287,11 @@ class Session:
             raise RuntimeError("Session already started")
         data = np.load(io.BytesIO(state))
         inst = self._instance
-        inst.restore_cache(data["k"], data["v"], data["pos"])
+        inst.restore_cache(
+            data["k"], data["v"], data["pos"],
+            data["k_scale"] if "k_scale" in data else None,
+            data["v_scale"] if "v_scale" in data else None,
+        )
         inst.allocator.host_positions[:] = data["host_positions"]
         inst.allocator._cursor = int(data["cursor"])
         self._num_past = int(data["num_past"])
