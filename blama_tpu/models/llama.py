@@ -24,7 +24,7 @@ from ..gguf.reader import GGUFReader
 from ..ops.attention import attention
 from ..ops.kv_cache import KVCache, dequantize_kv, quantize_kv
 from ..ops.norms import rms_norm
-from ..ops.pallas.quant_matmul import QuantTensor, qmm
+from ..ops.pallas.quant_matmul import QuantTensor, QuantTensorA8, qmm
 from ..ops.rope import apply_rope, rope_angles
 from .config import ModelConfig
 
@@ -61,7 +61,7 @@ _OPTIONAL_BIASES = {
 
 
 def load_llama_params(
-    reader: GGUFReader, cfg: ModelConfig, dtype=jnp.float32, fused_quant: bool = False
+    reader: GGUFReader, cfg: ModelConfig, dtype=jnp.float32, fused_quant: bool | str = False
 ) -> dict[str, Any]:
     """Load llama-family weights into a stacked pytree.
 
@@ -76,11 +76,12 @@ def load_llama_params(
 
     def get_t(name: str):
         if fused_quant and reader.tensors[name].ggml_type == GGMLType.Q4_K:
-            from ..ops.pallas.quant_matmul import repack_q4k_for_tpu
+            from ..ops.pallas.quant_matmul import repack_q4k_for_tpu, repack_q4k_w4a8
 
             info = reader.tensors[name]
             n_rows, row_len = info.ne[1], info.ne[0]
-            return repack_q4k_for_tpu(reader.tensor_bytes(name), n_rows, row_len)
+            repack = repack_q4k_w4a8 if fused_quant == "a8" else repack_q4k_for_tpu
+            return repack(reader.tensor_bytes(name), n_rows, row_len)
         return reader.tensor_float(name).T.copy()  # (n_in, n_out)
 
     def get_v(name: str) -> np.ndarray:
@@ -106,6 +107,13 @@ def load_llama_params(
                 layers[key].append(get_v(pat.format(i=i)))
 
     def stack(vs):
+        if isinstance(vs[0], QuantTensorA8):
+            return QuantTensorA8(
+                jnp.stack([v.codes for v in vs]),
+                jnp.stack([v.scales for v in vs]),
+                jnp.stack([v.mins for v in vs]),
+                n_out=vs[0].n_out,
+            )
         if isinstance(vs[0], QuantTensor):
             return QuantTensor(
                 jnp.stack([v.codes for v in vs]),
@@ -129,17 +137,17 @@ def load_llama_params(
     # lane tiling AND exact divisibility for vocab-sharded tensor parallelism.
     # forward() slices logits back to the true vocab size. (QuantTensors pad
     # internally at repack time.)
-    if not isinstance(params["output"], QuantTensor):
+    if not isinstance(params["output"], (QuantTensor, QuantTensorA8)):
         v = params["output"].shape[1]
         v_pad = -(-v // 128) * 128
         if v_pad != v:
             params["output"] = np.pad(params["output"], ((0, 0), (0, v_pad - v)))
 
     def conv(a):
-        return a if isinstance(a, QuantTensor) else jnp.asarray(a, dtype)
+        return a if isinstance(a, (QuantTensor, QuantTensorA8)) else jnp.asarray(a, dtype)
 
     return jax.tree_util.tree_map(
-        conv, params, is_leaf=lambda x: isinstance(x, QuantTensor)
+        conv, params, is_leaf=lambda x: isinstance(x, (QuantTensor, QuantTensorA8))
     )
 
 
@@ -264,7 +272,7 @@ def forward(
     new_cache = KVCache(k_new, v_new, new_positions, ks_new, vs_new)
     if return_hidden:
         return last_h, new_cache
-    if isinstance(params["output"], QuantTensor):
+    if isinstance(params["output"], (QuantTensor, QuantTensorA8)):
         logits = qmm(last_h.astype(jnp.float32), params["output"])
     else:
         # keep operands in weight dtype (bf16 reads from HBM), accumulate f32

@@ -198,4 +198,154 @@ def qmm(x: jnp.ndarray, w) -> jnp.ndarray:
         flat = x.reshape(-1, x.shape[-1])
         out = q4k_matmul(flat, w)[:, : w.n_out]
         return out.reshape(*lead, -1).astype(x.dtype)
+    if isinstance(w, QuantTensorA8):
+        lead = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1])
+        out = w4a8_matmul(flat, w)[:, : w.n_out]
+        return out.reshape(*lead, -1).astype(x.dtype)
     return x @ w
+
+
+# ---------------------------------------------------------------------------
+# W4A8: int8 activations × int4 codes on the MXU
+# ---------------------------------------------------------------------------
+#
+# The unpack-to-float kernel above is VPU-bound (~3 ops/weight); the MXU can
+# instead consume int8 operands natively. Activations are quantized per
+# (row, 32-group) to int8 (the TPU analog of llama.cpp's Q8_1 activation
+# quantization for K-quant dot products); codes are stored as int8 (one per
+# weight, 8+1 bits total) so the group-batched integer matmul needs no
+# per-weight VPU work at all:
+#
+#   y[b,n] = Σ_g x_scale[b,g]·( w_scale[g,n]·Σ_{k∈g} xq[b,k]·q[k,n]
+#                               − w_min[g,n]·Σ_{k∈g} xq[b,k] )
+
+def repack_q4k_w4a8(data: np.ndarray, n_rows: int, row_len: int) -> "QuantTensorA8":
+    codes, scales, mins = unpack_q4k_arrays(data, n_rows, row_len)
+    K, N = row_len, n_rows
+    codes = np.ascontiguousarray(codes.T).astype(np.int8)   # [K, N]
+    scales = np.ascontiguousarray(scales.T)                 # [K/32, N]
+    mins = np.ascontiguousarray(mins.T)
+    n_pad = -(-N // 256) * 256 - N
+    if n_pad:
+        codes = np.pad(codes, ((0, 0), (0, n_pad)))
+        scales = np.pad(scales, ((0, 0), (0, n_pad)))
+        mins = np.pad(mins, ((0, 0), (0, n_pad)))
+    return QuantTensorA8(
+        jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(mins), n_out=n_rows
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantTensorA8:
+    """int8-code weight for the W4A8 MXU kernel; shape (n_in, n_out)."""
+
+    codes: jnp.ndarray    # int8 [K, N_pad], values 0..15
+    scales: jnp.ndarray   # f32  [K/32, N_pad]
+    mins: jnp.ndarray     # f32  [K/32, N_pad]
+    n_out: int = 0
+
+    def tree_flatten(self):
+        return (self.codes, self.scales, self.mins), self.n_out
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, n_out=aux)
+
+    @property
+    def shape(self):
+        return (self.codes.shape[0], self.n_out)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16
+
+
+def _w4a8_kernel(xq_ref, xs_ref, xsum_ref, codes_ref, scales_ref, mins_ref, out_ref):
+    k = pl.program_id(1)
+    B = xq_ref.shape[0]
+    nt = codes_ref.shape[1]
+    G = KT // GROUP  # groups per K-tile
+
+    codes = codes_ref[:]                        # [KT, NT] int8
+    xq = xq_ref[:]                              # [B, KT] int8
+
+    xs = xs_ref[:].astype(jnp.float32)           # [G, B] per-group act scales
+    xsum = xsum_ref[:].astype(jnp.float32)       # [G, B] per-group act sums
+    ws = scales_ref[:].astype(jnp.float32)       # [G, NT]
+    wm = mins_ref[:].astype(jnp.float32)         # [G, NT]
+
+    # per-group int8 MXU dots, statically unrolled (Mosaic lacks batched
+    # dot_general); y[b,n] = Σ_g xs[g,b]·(ws[g,n]·ip_g[b,n] − xsum[g,b]·wm[g,n])
+    pos = jnp.zeros((B, nt), jnp.float32)
+    for g in range(G):
+        ip_g = jnp.dot(
+            xq[:, g * GROUP:(g + 1) * GROUP],
+            codes[g * GROUP:(g + 1) * GROUP, :],
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)                    # [B, NT]
+        pos = pos + (xs[g][:, None] * ip_g) * ws[g][None, :]
+    neg = jnp.einsum("gb,gn->bn", xs * xsum, wm)
+    partial_out = pos - neg
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = partial_out
+
+    @pl.when(k != 0)
+    def _():
+        out_ref[:] = out_ref[:] + partial_out
+
+
+def quantize_activations(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """[B, K] f32 → (int8 codes, scales [B, K/32], sums [B, K/32])."""
+    B, K = x.shape
+    G = K // GROUP
+    xg = x.astype(jnp.float32).reshape(B, G, GROUP)
+    amax = jnp.max(jnp.abs(xg), axis=-1)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+    xq = jnp.round(xg * inv[..., None]).astype(jnp.int8)
+    xsum = jnp.sum(xq.astype(jnp.int32), axis=-1).astype(jnp.float32)
+    # scales/sums transposed to [G, B]: pallas block shapes need the lane dim
+    # to equal a full array dim, and B is small
+    return xq.reshape(B, K), scale.T, xsum.T
+
+
+@partial(jax.jit, static_argnums=(2,))
+def w4a8_matmul(x: jnp.ndarray, w: QuantTensorA8, block_n: int = 512) -> jnp.ndarray:
+    """x [B, K] (float) @ packed W → [B, N] f32 via int8 MXU matmuls."""
+    B, K = x.shape
+    K2, N = w.codes.shape
+    assert K == K2
+    xq, xs, xsum = quantize_activations(x)
+    bn = min(block_n, N)
+    while N % bn != 0:
+        bn //= 2
+    G = KT // GROUP
+    grid = (N // bn, K // KT)
+
+    return pl.pallas_call(
+        _w4a8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, KT), lambda n, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, B), lambda n, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, B), lambda n, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, bn), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * N,
+            bytes_accessed=K * N + K * N // 4 + B * K + B * N * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(xq, xs, xsum, w.codes, w.scales, w.mins)
