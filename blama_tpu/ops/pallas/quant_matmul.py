@@ -262,90 +262,61 @@ class QuantTensorA8:
         return jnp.bfloat16
 
 
-def _w4a8_kernel(xq_ref, xs_ref, xsum_ref, codes_ref, scales_ref, mins_ref, out_ref):
-    k = pl.program_id(1)
-    B = xq_ref.shape[0]
-    nt = codes_ref.shape[1]
-    G = KT // GROUP  # groups per K-tile
+@jax.jit
+def w4a8_matmul(x: jnp.ndarray, w: QuantTensorA8) -> jnp.ndarray:
+    """x [B, K] (float) @ packed W → [B, N] f32 via int8 MXU matmuls.
 
-    codes = codes_ref[:]                        # [KT, NT] int8
-    xq = xq_ref[:]                              # [B, KT] int8
+    Pure-XLA formulation: XLA lowers int8×int8 dot_general to the MXU
+    natively and fuses the group-scale combine, so no Pallas kernel is
+    needed (several Pallas variants hit Mosaic compile pathologies with
+    K=32 contractions / sublane-level slices). The batched tile dot keeps
+    the contraction at 256 with the G group-masked activation planes
+    stacked along M.
+    """
+    B, K = x.shape
+    K2, N = w.codes.shape
+    assert K == K2, (x.shape, w.codes.shape)
+    G = KT // GROUP
+    T = K // KT
+    planes, xs, xsum = quantize_activations(x)   # [G*B, K], [K/32, B], [K/32, B]
 
-    xs = xs_ref[:].astype(jnp.float32)           # [G, B] per-group act scales
-    xsum = xsum_ref[:].astype(jnp.float32)       # [G, B] per-group act sums
-    ws = scales_ref[:].astype(jnp.float32)       # [G, NT]
-    wm = mins_ref[:].astype(jnp.float32)         # [G, NT]
-
-    # per-group int8 MXU dots, statically unrolled (Mosaic lacks batched
-    # dot_general); y[b,n] = Σ_g xs[g,b]·(ws[g,n]·ip_g[b,n] − xsum[g,b]·wm[g,n])
-    pos = jnp.zeros((B, nt), jnp.float32)
-    for g in range(G):
-        ip_g = jnp.dot(
-            xq[:, g * GROUP:(g + 1) * GROUP],
-            codes[g * GROUP:(g + 1) * GROUP, :],
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)                    # [B, NT]
-        pos = pos + (xs[g][:, None] * ip_g) * ws[g][None, :]
-    neg = jnp.einsum("gb,gn->bn", xs * xsum, wm)
-    partial_out = pos - neg
-
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = partial_out
-
-    @pl.when(k != 0)
-    def _():
-        out_ref[:] = out_ref[:] + partial_out
+    pt = planes.reshape(G, B, T, KT).transpose(2, 0, 1, 3).reshape(T, G * B, KT)
+    ct = w.codes.reshape(T, KT, N)
+    ip = jax.lax.dot_general(
+        pt, ct,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )                                             # [T, G*B, N]
+    ipf = ip.reshape(T, G, B, N).astype(jnp.float32)
+    xs_r = xs.reshape(T, G, B)
+    xsum_r = xsum.reshape(T, G, B)
+    ws_r = w.scales.reshape(T, G, N)
+    wm_r = w.mins.reshape(T, G, N)
+    pos = jnp.einsum("tgbn,tgb,tgn->bn", ipf, xs_r, ws_r)
+    neg = jnp.einsum("tgb,tgn->bn", xs_r * xsum_r, wm_r)
+    return pos - neg
 
 
 def quantize_activations(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """[B, K] f32 → (int8 codes, scales [B, K/32], sums [B, K/32])."""
+    """[B, K] f32 → (masked int8 planes [G·B, K], scales [K/32, B],
+    sums [K/32, B]).
+
+    Plane g zeroes every activation outside tile-local group g (G = KT/GROUP
+    planes; the pattern repeats every KT columns), so a single int8 matmul of
+    the stacked planes yields per-group partial sums."""
     B, K = x.shape
-    G = K // GROUP
-    xg = x.astype(jnp.float32).reshape(B, G, GROUP)
+    Gk = K // GROUP
+    xg = x.astype(jnp.float32).reshape(B, Gk, GROUP)
     amax = jnp.max(jnp.abs(xg), axis=-1)
     scale = amax / 127.0
     inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
     xq = jnp.round(xg * inv[..., None]).astype(jnp.int8)
     xsum = jnp.sum(xq.astype(jnp.int32), axis=-1).astype(jnp.float32)
-    # scales/sums transposed to [G, B]: pallas block shapes need the lane dim
-    # to equal a full array dim, and B is small
-    return xq.reshape(B, K), scale.T, xsum.T
-
-
-@partial(jax.jit, static_argnums=(2,))
-def w4a8_matmul(x: jnp.ndarray, w: QuantTensorA8, block_n: int = 512) -> jnp.ndarray:
-    """x [B, K] (float) @ packed W → [B, N] f32 via int8 MXU matmuls."""
-    B, K = x.shape
-    K2, N = w.codes.shape
-    assert K == K2
-    xq, xs, xsum = quantize_activations(x)
-    bn = min(block_n, N)
-    while N % bn != 0:
-        bn //= 2
-    G = KT // GROUP
-    grid = (N // bn, K // KT)
-
-    return pl.pallas_call(
-        _w4a8_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((B, KT), lambda n, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, B), lambda n, k: (k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, B), lambda n, k: (k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((KT, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((B, bn), lambda n, k: (0, n), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * K * N,
-            bytes_accessed=K * N + K * N // 4 + B * K + B * N * 4,
-            transcendentals=0,
-        ),
-        interpret=jax.default_backend() == "cpu",
-    )(xq, xs, xsum, w.codes, w.scales, w.mins)
+    xq = xq.reshape(B, K)
+    gt = KT // GROUP
+    local_g = (jnp.arange(K) // GROUP) % gt                  # [K]
+    planes = jnp.concatenate(
+        [jnp.where(local_g[None, :] == g, xq, jnp.int8(0)) for g in range(gt)],
+        axis=0,
+    )                                                        # [G·B, K]
+    return planes, scale.T, xsum.T
