@@ -100,3 +100,49 @@ def test_fused_session_matches_dequant_session(tmp_path):
         return [pr.token for pr in preds]
 
     assert run("bfloat16") == run("q4k_fused")
+
+
+def test_w4a8_kernel_accuracy():
+    from blama_tpu.ops.pallas.quant_matmul import repack_q4k_w4a8, w4a8_matmul
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    N, K = 512, 512
+    wf = rng.standard_normal((N, K)).astype(np.float32) * 0.05
+    packed = quants.quantize(wf, GGMLType.Q4_K)
+    w_exact = quants.dequantize(packed, GGMLType.Q4_K, (N, K))
+    qt = repack_q4k_w4a8(packed, N, K)
+    x = rng.standard_normal((4, K)).astype(np.float32)
+    y = np.asarray(w4a8_matmul(jnp.asarray(x), qt))
+    y_ref = x @ w_exact.T
+    rel = np.abs(y - y_ref).max() / np.abs(y_ref).max()
+    assert rel < 0.02  # int8 activation quantization error budget
+
+
+def test_w4a8_session_self_consistent(tmp_path):
+    """q4k_a8 engine mode: generation deterministic and replay bit-exact
+    (tokens may differ from the float engine due to activation quantization —
+    verification is per-engine-configuration)."""
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "t.gguf")
+    write_tiny_llama(p, GGMLType.Q4_K)
+    m = Model(p, ModelParams(dtype="q4k_a8"))
+    inst = Instance(m, InstanceInitParams(ctx_size=64))
+
+    s = inst.start_session(SessionInitParams(seed=2, temperature=0.0))
+    s.set_initial_prompt(m.vocab.tokenize("hello world", True, True))
+    preds = s.complete(CompleteParams(max_tokens=5))
+    inst.stop_session()
+    assert len(preds) >= 1
+
+    s2 = inst.start_session(SessionInitParams(seed=2, temperature=0.0))
+    s2.set_initial_prompt(m.vocab.tokenize("hello world", True, True))
+    replayed = s2.fill_ctx(preds)
+    inst.stop_session()
+    for o, r in zip(preds, replayed):
+        assert {t.token: t.logit for t in o.logits} == {t.token: t.logit for t in r.logits}
+    m.close()
