@@ -186,6 +186,7 @@ def forward(
     cache: KVCache,
     logits_index: jnp.ndarray | None = None,  # [B] index into T of the logit token
     return_hidden: bool = False,
+    all_positions: bool = False,  # logits for every position (perplexity path)
 ) -> tuple[jnp.ndarray, KVCache]:
     """One decode/prefill step. Returns (logits [B, V] f32, updated cache).
 
@@ -265,11 +266,14 @@ def forward(
         layer_fn, x, (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
     )
 
-    if logits_index is None:
-        logits_index = jnp.full((tokens.shape[0],), tokens.shape[1] - 1, jnp.int32)
-    last_h = jax.vmap(lambda xb, i: xb[i])(x, logits_index)  # [B, E]
-    last_h = rms_norm(last_h, params["out_norm"], eps)
     new_cache = KVCache(k_new, v_new, new_positions, ks_new, vs_new)
+    if all_positions:
+        last_h = rms_norm(x, params["out_norm"], eps)        # [B, T, E]
+    else:
+        if logits_index is None:
+            logits_index = jnp.full((tokens.shape[0],), tokens.shape[1] - 1, jnp.int32)
+        last_h = jax.vmap(lambda xb, i: xb[i])(x, logits_index)  # [B, E]
+        last_h = rms_norm(last_h, params["out_norm"], eps)
     if return_hidden:
         return last_h, new_cache
     if isinstance(params["output"], (QuantTensor, QuantTensorA8)):
@@ -281,9 +285,16 @@ def forward(
             preferred_element_type=jnp.float32,
         )
     n_vocab = params["tok_emb"].shape[0]
-    logits = logits[:, :n_vocab]  # drop vocab padding (see load_llama_params)
+    logits = logits[..., :n_vocab]  # drop vocab padding (see load_llama_params)
 
     return logits, new_cache
+
+
+@partial(jax.jit, static_argnums=(0,))
+def all_logits(st: "LlamaStatic", params, tokens, positions, slots, cache):
+    """Full-sequence logits [B, T, V] f32 (perplexity evaluation path)."""
+    return forward(params, st, tokens, positions, slots, cache,
+                   all_positions=True)
 
 
 @partial(jax.jit, static_argnums=(0,))
