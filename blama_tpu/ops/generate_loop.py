@@ -70,3 +70,37 @@ def greedy_generate(
         top_vals.swapaxes(0, 1),
         cache,
     )
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def continue_greedy(
+    st: "llama_mod.LlamaStatic",
+    params,
+    cache: KVCache,
+    logits0: jnp.ndarray,   # [B, V] current logits (host-pulled state re-fed)
+    start_pos: jnp.ndarray, # [B] next position (= slot) per row
+    n_steps: int,
+):
+    """Continue greedy generation from an existing session state.
+
+    Per step: argmax current logits → decode token at the next sequential
+    slot → capture new logits. Returns (tokens [B, n], full_logits
+    [B, n, V] f32, cache). Used as the Session's device-loop fast path:
+    sequential slots match the SlotAllocator so the cache state after
+    truncation-rollback is identical to the step-by-step path.
+    """
+    B = logits0.shape[0]
+
+    def body(carry, _):
+        cache, logits, pos = carry
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits2, cache = llama_mod.forward(
+            params, st, tok[:, None], pos[:, None], pos[:, None],
+            cache, jnp.zeros((B,), jnp.int32),
+        )
+        return (cache, logits2, pos + 1), (tok, logits2)
+
+    (cache, _, _), (tokens, all_logits) = jax.lax.scan(
+        body, (cache, logits0, start_pos), None, length=n_steps
+    )
+    return tokens.swapaxes(0, 1), all_logits.swapaxes(0, 1), cache

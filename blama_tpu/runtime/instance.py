@@ -41,6 +41,7 @@ class InstanceInitParams:
     ubatch_size: int = 512
     flash_attn: bool = False     # Pallas fused attention (ops/pallas)
     kv_dtype: str = "float32"    # float32 | bfloat16 | int8 (quantized KV)
+    fast_greedy: bool = True     # device-loop fast path for eligible complete()
 
 
 class Instance:

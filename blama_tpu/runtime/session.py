@@ -210,12 +210,97 @@ class Session:
         self._flush_pending()
         if params.prompt or params.suffix:
             self.push_prompt(params.prompt, params.suffix)
+        fast = self._try_fast_greedy(params.max_tokens)
+        if fast is not None:
+            return fast
         predictions = []
         for _ in range(params.max_tokens):
             p = self.get_token()
             if p.token == TOKEN_INVALID:
                 break
             predictions.append(p)
+        return predictions
+
+    def _try_fast_greedy(self, max_tokens: int) -> list[TokenPrediction] | None:
+        """Device-loop fast path: N greedy decode steps in one XLA program.
+
+        Eligible only when it is provably equivalent to the step-by-step
+        path: greedy sampling with no grammar/bias/penalties/mirostat, no
+        pending context-shift, and a purely sequential slot layout. The
+        sampled-token stream, captured top-10 logits, cache state, and
+        post-call session state all match the slow path (tested).
+        """
+        inst = self._instance
+        sp = self._sampler.params
+        if not getattr(inst.params, "fast_greedy", True):
+            return None
+        if not (
+            sp.temp <= 0.0
+            and not sp.grammar
+            and not sp.logit_bias
+            and sp.mirostat.ver == 0
+            and sp.repetition_penalty.repeat == 1.0
+            and sp.repetition_penalty.freq == 0.0
+            and sp.repetition_penalty.present == 0.0
+        ):
+            return None
+        if self._params.ga_factor != 1:
+            return None
+        n = min(max_tokens, self._max_tokens - self._num_past)
+        if n <= 0 or self._num_past + n >= inst.ctx_len:
+            return None  # would need context-shift: slow path handles it
+        hp = inst.allocator.host_positions
+        if not (hp[: self._num_past] == np.arange(self._num_past)).all() or (
+            hp[self._num_past:] >= 0
+        ).any():
+            return None  # non-sequential layout (after shifts/edits)
+
+        import jax.numpy as jnp
+
+        from ..models.llama import LlamaStatic
+        from ..ops.generate_loop import continue_greedy
+
+        cfg = inst.model.config
+        if cfg.arch not in ("llama", "mistral", "qwen2") or cfg.is_moe:
+            return None
+        st = LlamaStatic.of(cfg)
+        tokens, all_logits, cache = continue_greedy(
+            st, inst.model.weights, inst.cache,
+            jnp.asarray(self._last_logits[None, :]),
+            jnp.asarray([self._num_past], jnp.int32), n,
+        )
+        toks = np.asarray(tokens[0])
+        lg = np.asarray(all_logits[0]).astype(np.float32)  # [n, V]
+
+        # truncate at the first EOG (reference never decodes EOG tokens)
+        stop = n
+        for i, t in enumerate(toks):
+            if self._vocab.is_eog(int(t)):
+                stop = i
+                break
+
+        predictions = []
+        for i in range(stop):
+            self._last_logits = lg[i]
+            predictions.append(
+                TokenPrediction(int(toks[i]), self.get_logits_top(10))
+            )
+
+        inst.cache = cache
+        kept = stop
+        # bookkeeping: the loop decoded tokens [0, stop); roll back any
+        # decoded-beyond-EOG slots via a position edit (free in this design)
+        new_past = self._num_past + kept
+        inst.allocator.record(
+            np.arange(self._num_past, new_past, dtype=np.int32),
+            np.arange(self._num_past, new_past),
+        )
+        if kept < n:
+            inst.kv_seq_rm(new_past, -1)
+            # restore the logits state that produced the EOG sample
+            self._last_logits = lg[kept - 1] if kept > 0 else self._last_logits
+        self._num_past = new_past
+        self._curr_token = TOKEN_INVALID
         return predictions
 
     def complete_stream(self, params: CompleteParams | None = None) -> StreamGenerator:
