@@ -64,6 +64,23 @@ class Instance:
         self.cache = kvc.KVCache.create(
             cfg.n_layer, 1, self.ctx_len, cfg.n_head_kv, cfg.head_dim_, kv_dtype
         )
+        mesh = model.params.mesh
+        if mesh is not None:
+            # shard the KV cache over the mesh to match the weight layout
+            from jax.sharding import NamedSharding
+
+            from ..parallel import sharding as sh
+
+            kv = sh.kv_cache_specs()
+            self.cache = kvc.KVCache(
+                jax.device_put(self.cache.k, NamedSharding(mesh, kv["k"])),
+                jax.device_put(self.cache.v, NamedSharding(mesh, kv["v"])),
+                jax.device_put(self.cache.positions, NamedSharding(mesh, kv["positions"])),
+                jax.device_put(self.cache.k_scale, NamedSharding(mesh, kv["k"][:-1]))
+                if self.cache.k_scale is not None else None,
+                jax.device_put(self.cache.v_scale, NamedSharding(mesh, kv["v"][:-1]))
+                if self.cache.v_scale is not None else None,
+            )
         self.allocator = kvc.SlotAllocator(self.ctx_len)
 
         if cfg.arch in ("llama", "mistral", "qwen2", "mixtral"):

@@ -70,9 +70,24 @@ class Model:
             w = load_bert_params(self.reader, self.config, dtype)
         else:
             raise NotImplementedError(f"architecture {arch!r}")
+        if self.params.mesh is not None:
+            w = self._shard(w)
         if progress_cb:
             progress_cb(1.0)
         return w
+
+    def _shard(self, w):
+        """Place weights on the mesh per the sharding rules (TP/EP serving)."""
+        from ..parallel import sharding as sh
+
+        mesh = self.params.mesh
+        if self.config.is_moe:
+            from ..models.moe import moe_param_specs
+
+            specs = sh.specs_for_tree(w, moe_param_specs())
+        else:
+            specs = sh.specs_for_tree(w, sh.llama_param_specs(has_bias="bq" in w["layers"]))
+        return sh.shard_params(w, mesh, specs)
 
     # -- reference Model API -------------------------------------------------
 

@@ -79,3 +79,32 @@ def test_cross_sharding_logit_agreement(model):
     t1 = set(np.argsort(-l1[0])[:10].tolist())
     t4 = set(np.argsort(-l4[0])[:10].tolist())
     assert t1 == t4
+
+
+def test_sharded_session_matches_unsharded(model):
+    """A full Session on a (1, 4) tp mesh generates the same greedy tokens
+    as single-device (the real sharded serving path, not just the dryrun)."""
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.testing import write_tiny_llama
+    import tempfile
+
+    p = tempfile.mktemp(suffix=".gguf")
+    from blama_tpu.gguf import GGMLType
+
+    write_tiny_llama(p, GGMLType.Q8_0, spec={"n_head": 8, "n_head_kv": 4})
+
+    def run(mesh):
+        m = Model(p, ModelParams(mesh=mesh))
+        inst = Instance(m, InstanceInitParams(ctx_size=64))
+        s = inst.start_session(SessionInitParams(seed=4, temperature=0.0))
+        s.set_initial_prompt(m.vocab.tokenize("hello world", True, True))
+        out = [pr.token for pr in s.complete(CompleteParams(max_tokens=6))]
+        inst.stop_session()
+        m.close()
+        return out
+
+    single = run(None)
+    sharded = run(make_mesh(1, 4))
+    assert single == sharded
