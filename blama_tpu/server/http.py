@@ -114,6 +114,13 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(body)
 
     def do_GET(self):  # noqa: N802
+        # /metrics is a blama-tpu extension (the reference has no
+        # observability endpoint — SURVEY.md §5.5); all other GETs are 400
+        # like the reference (HttpServerMain.cpp:306-310).
+        if self.path == "/metrics":
+            snap = self.api.metrics_snapshot()
+            self._send(200, json.dumps(snap).encode())
+            return
         self._send(400)
 
     def _await(self, submit) -> object:

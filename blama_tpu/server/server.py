@@ -24,6 +24,7 @@ from ..runtime.model import Model
 from ..runtime.session import CompleteParams, SessionInitParams
 from ..runtime.token_data import TokenData as _TD, TokenPrediction
 from ..runtime.verify import LogitComparer, MetricsAggregator
+from ..utils.metrics import Metrics
 
 
 @dataclass
@@ -79,6 +80,7 @@ class Server:
         self._instance = Instance(model, instance_params or InstanceInitParams())
         self._instance.warmup()
         self._queue: queue.Queue[Callable[[], None] | None] = queue.Queue()
+        self.metrics = Metrics()
         self._worker = threading.Thread(target=self._run, name="blama-inference", daemon=True)
         self._worker.start()
 
@@ -140,19 +142,26 @@ class Server:
 
     # -- public async API (Server.hpp:58-64) ----------------------------------
 
+    def metrics_snapshot(self) -> dict:
+        return self.metrics.snapshot()
+
     def complete_text(self, params: CompleteRequestParams, cb: Callable[[CompleteResponse], None]) -> None:
         def job():
             session = self._instance.start_session(self._session_params(params))
             try:
                 tokens = self._model.vocab.tokenize(params.prompt, True, True)
-                session.set_initial_prompt(tokens)
+                with self.metrics.timer("prefill"):
+                    session.set_initial_prompt(tokens)
+                self.metrics.tokens_prefilled += len(tokens)
                 suffix = (
                     self._model.vocab.tokenize(params.suffix, False, True)
                     if params.suffix else []
                 )
-                preds = session.complete(
-                    CompleteParams(suffix=suffix, max_tokens=params.max_tokens or (1 << 30))
-                )
+                with self.metrics.timer("decode_step"):
+                    preds = session.complete(
+                        CompleteParams(suffix=suffix, max_tokens=params.max_tokens or (1 << 30))
+                    )
+                self.metrics.tokens_decoded += len(preds)
                 cb(self._predictions_to_response(preds))
             finally:
                 self._instance.stop_session()

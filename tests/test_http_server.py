@@ -123,3 +123,13 @@ def test_bad_json_400(http_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+
+
+def test_metrics_endpoint(http_server):
+    # generate something first so counters move
+    post(http_server + "/complete", {"prompt": "hello", "max_tokens": 3, "temp": 0.0})
+    with urllib.request.urlopen(http_server + "/metrics", timeout=30) as r:
+        snap = json.loads(r.read())
+    assert snap["tokens_decoded"] >= 1
+    assert snap["tokens_prefilled"] >= 1
+    assert "timers" in snap
