@@ -127,7 +127,7 @@ def repack_q4k_for_tpu(data: np.ndarray, n_rows: int, row_len: int) -> QuantTens
     )
 
 
-def _q4k_matmul_kernel(x_ref, codes_ref, scales_ref, mins_ref, out_ref):
+def _q4k_matmul_kernel(x_ref, codes_ref, scales_ref, out_ref):
     k = pl.program_id(1)
 
     # Mosaic lacks sub-32-bit vector shifts: upcast before the bit ops
@@ -137,10 +137,9 @@ def _q4k_matmul_kernel(x_ref, codes_ref, scales_ref, mins_ref, out_ref):
     q = jnp.concatenate([lo, hi], axis=0)      # [KT, NT] (pairing from repack)
 
     scales = scales_ref[:].astype(jnp.float32)  # [KT/32, NT]
-    mins = mins_ref[:].astype(jnp.float32)
     nt = codes.shape[1]
     q3 = q.astype(jnp.float32).reshape(KT // GROUP, GROUP, nt)
-    w = (q3 * scales[:, None, :] - mins[:, None, :]).reshape(KT, nt)
+    w = (q3 * scales[:, None, :]).reshape(KT, nt)
 
     x = x_ref[:].astype(jnp.float32)           # [B, KT]
     partial_out = jnp.dot(x, w, preferred_element_type=jnp.float32)
@@ -165,13 +164,12 @@ def q4k_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 512) -> jnp.ndarra
         bn //= 2
     grid = (N // bn, K // KT)
 
-    return pl.pallas_call(
+    pos = pl.pallas_call(
         _q4k_matmul_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, KT), lambda n, k: (0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((KT // 2, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((KT // GROUP, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
             pl.BlockSpec((KT // GROUP, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, bn), lambda n, k: (0, n), memory_space=pltpu.VMEM),
@@ -185,7 +183,12 @@ def q4k_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 512) -> jnp.ndarra
             transcendentals=0,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(x, w.codes, w.scales, w.mins)
+    )(x, w.codes, w.scales)
+    # affine `- min` correction outside the kernel: pulls one elementwise op
+    # per weight out of the VPU-bound unpack path.
+    # Σ_k x_k(s·q − m) = kernel(x) − Σ_g (Σ_{k∈g} x_k)·m_g,n
+    xg_sum = jnp.sum(x.astype(jnp.float32).reshape(B, K // GROUP, GROUP), axis=-1)
+    return pos - jnp.dot(xg_sum, w.mins, preferred_element_type=jnp.float32)
 
 
 def qmm(x: jnp.ndarray, w) -> jnp.ndarray:
