@@ -88,6 +88,16 @@ def main() -> None:
     best = min(times)
     tok_s = n_steps / best
 
+    # TTFT: prefill + first decode + first-token transfer (p50 of 5)
+    ttfts = []
+    for _ in range(5):
+        cache = KVCache.create(cfg.n_layer, 1, S, cfg.n_head_kv, cfg.head_dim_, jnp.bfloat16)
+        t0 = time.time()
+        toks1, _, _, _ = greedy_generate(st, model.weights, prompt, cache, n_prompt, 1)
+        np.asarray(toks1)
+        ttfts.append(time.time() - t0)
+    ttft_p50 = sorted(ttfts)[len(ttfts) // 2]
+
     result = {
         "metric": f"decode_tokens_per_sec_chip_{preset}_{wdtype}",
         "value": round(tok_s, 2),
@@ -97,6 +107,7 @@ def main() -> None:
             "preset": preset,
             "prompt_len": n_prompt,
             "steps": n_steps,
+            "ttft_p50_s": round(ttft_p50, 4),
             "best_wall_s": round(best, 4),
             "all_wall_s": [round(t, 4) for t in times],
             "load_s": round(load_s, 1),

@@ -455,3 +455,55 @@ def write_tiny_gpt2(path: str, seed: int = 55) -> None:
         g.add_tensor(f"blk.{i}.ffn_down.weight", w((E, F)))
         g.add_tensor(f"blk.{i}.ffn_down.bias", np.zeros(E, np.float32))
     g.write()
+
+
+def write_tiny_qwen2(path: str, seed: int = 31) -> None:
+    """Tiny qwen2-architecture GGUF (llama family + Q/K/V biases)."""
+    E, H, HKV, F, L = 256, 4, 2, 512, 2
+    tokens, scores, types = tiny_spm_vocab()
+    n_vocab = len(tokens)
+    D = E // H
+    rng = np.random.default_rng(seed)
+
+    def w(shape, scale=None):
+        scale = scale if scale is not None else (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    g = GGUFWriter(path)
+    g.add_kv("general.architecture", "qwen2")
+    g.add_kv("qwen2.block_count", L)
+    g.add_kv("qwen2.embedding_length", E)
+    g.add_kv("qwen2.feed_forward_length", F)
+    g.add_kv("qwen2.attention.head_count", H)
+    g.add_kv("qwen2.attention.head_count_kv", HKV)
+    g.add_kv("qwen2.attention.layer_norm_rms_epsilon", 1e-6)
+    g.add_kv("qwen2.context_length", 512)
+    g.add_kv("qwen2.rope.freq_base", 1e6)
+    g.add_kv("qwen2.rope.dimension_count", D)
+    g.add_kv("qwen2.vocab_size", n_vocab)
+    g.add_kv("tokenizer.ggml.model", "llama")
+    g.add_kv("tokenizer.ggml.tokens", tokens)
+    g.add_kv("tokenizer.ggml.scores", scores)
+    g.add_kv("tokenizer.ggml.token_type", types)
+    g.add_kv("tokenizer.ggml.bos_token_id", 1)
+    g.add_kv("tokenizer.ggml.eos_token_id", 2)
+    g.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    g.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    g.add_tensor("token_embd.weight", w((n_vocab, E), 0.05))
+    g.add_tensor("output_norm.weight", np.ones(E, np.float32))
+    # no output.weight → tied embeddings path
+    for i in range(L):
+        g.add_tensor(f"blk.{i}.attn_norm.weight", np.ones(E, np.float32))
+        g.add_tensor(f"blk.{i}.attn_q.weight", w((H * D, E)))
+        g.add_tensor(f"blk.{i}.attn_q.bias", w((H * D,), 0.02))
+        g.add_tensor(f"blk.{i}.attn_k.weight", w((HKV * D, E)))
+        g.add_tensor(f"blk.{i}.attn_k.bias", w((HKV * D,), 0.02))
+        g.add_tensor(f"blk.{i}.attn_v.weight", w((HKV * D, E)))
+        g.add_tensor(f"blk.{i}.attn_v.bias", w((HKV * D,), 0.02))
+        g.add_tensor(f"blk.{i}.attn_output.weight", w((E, H * D)))
+        g.add_tensor(f"blk.{i}.ffn_norm.weight", np.ones(E, np.float32))
+        g.add_tensor(f"blk.{i}.ffn_gate.weight", w((F, E)))
+        g.add_tensor(f"blk.{i}.ffn_up.weight", w((F, E)))
+        g.add_tensor(f"blk.{i}.ffn_down.weight", w((E, F)))
+    g.write()
