@@ -159,8 +159,7 @@ class SlotAllocator:
         hp = self.host_positions
         hit = (hp >= p0) & (hp < (p1 if p1 >= 0 else np.iinfo(np.int64).max)) & (hp >= 0)
         hp[hit] += delta
-        hp[hp < 0] = -1
-        hp[hit & (hp < 0)] = -1
+        hp[hp < 0] = -1  # entries shifted below zero are removed
 
     def apply_div(self, p0: int, p1: int, divisor: int) -> None:
         hp = self.host_positions

@@ -235,7 +235,13 @@ def repack_q4k_w4a8(data: np.ndarray, n_rows: int, row_len: int) -> "QuantTensor
         scales = np.pad(scales, ((0, 0), (0, n_pad)))
         mins = np.pad(mins, ((0, 0), (0, n_pad)))
     return QuantTensorA8(
-        jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(mins), n_out=n_rows
+        jnp.asarray(codes),
+        # f16 scales: a8 numerics are already activation-quantized, and f16
+        # halves scale memory (9 bits/weight total) — the margin that lets
+        # 8B-class models fit a 16GB chip
+        jnp.asarray(scales.astype(np.float16)),
+        jnp.asarray(mins.astype(np.float16)),
+        n_out=n_rows,
     )
 
 
@@ -293,8 +299,8 @@ def w4a8_matmul(x: jnp.ndarray, w: QuantTensorA8) -> jnp.ndarray:
     ipf = ip.reshape(T, G, B, N).astype(jnp.float32)
     xs_r = xs.reshape(T, G, B)
     xsum_r = xsum.reshape(T, G, B)
-    ws_r = w.scales.reshape(T, G, N)
-    wm_r = w.mins.reshape(T, G, N)
+    ws_r = w.scales.astype(jnp.float32).reshape(T, G, N)
+    wm_r = w.mins.astype(jnp.float32).reshape(T, G, N)
     pos = jnp.einsum("tgbn,tgb,tgn->bn", ipf, xs_r, ws_r)
     neg = jnp.einsum("tgb,tgn->bn", xs_r * xsum_r, wm_r)
     return pos - neg

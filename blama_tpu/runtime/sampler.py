@@ -206,8 +206,9 @@ class Sampler:
     # -- primitives ---------------------------------------------------------
 
     def _apply_logit_bias(self, cand: _Candidates) -> None:
+        # runs first in the chain, while ids are still the identity mapping
         for tok, bias in self.params.logit_bias.items():
-            if 0 <= tok < cand.logits.shape[0] and not cand.sorted:
+            if not cand.sorted and 0 <= tok < cand.logits.shape[0]:
                 cand.logits[tok] += bias
             else:
                 cand.logits[cand.ids == tok] += bias

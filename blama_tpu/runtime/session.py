@@ -232,7 +232,7 @@ class Session:
         """
         inst = self._instance
         sp = self._sampler.params
-        if not getattr(inst.params, "fast_greedy", True):
+        if not inst.params.fast_greedy:
             return None
         if not (
             sp.temp <= 0.0
