@@ -41,6 +41,8 @@ class ModelConfig:
     pooling_type: int = 0              # 0 none, 1 mean, 2 cls (bert family)
     has_encoder: bool = False
     act_fn: str = "silu"               # silu | gelu
+    emb_scale: float = 1.0             # input embedding multiplier (gemma: sqrt(E))
+    norm_plus_one: bool = False        # RMSNorm weight applied as (1 + w) (gemma)
     chat_template: str = ""
     # extra raw metadata for model-specific needs
     extra: dict[str, Any] = field(default_factory=dict)
@@ -103,9 +105,11 @@ class ModelConfig:
             cfg.act_fn = "gelu"
             cfg.causal = False
             cfg.pooling_type = int(g("pooling_type", 2) or 2)
-        elif arch == "gemma":
+        elif arch in ("gemma", "gemma2"):
             cfg.act_fn = "gelu"
             cfg.tie_word_embeddings = True
+            cfg.emb_scale = float(cfg.n_embd) ** 0.5
+            cfg.norm_plus_one = True
 
         return cfg
 

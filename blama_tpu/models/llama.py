@@ -95,11 +95,30 @@ def load_llama_params(
         for k in _OPTIONAL_BIASES:
             layers[k] = []
 
+    fused_qkv = "blk.0.attn_qkv.weight" in reader.tensors and cfg.n_layer > 0
+    fused_gate_up = (
+        "blk.0.ffn_gate.weight" not in reader.tensors
+        and "blk.0.ffn_up.weight" in reader.tensors and cfg.n_layer > 0
+    )
     for i in range(cfg.n_layer):
         for key, pat in _LAYER_TENSORS.items():
             name = pat.format(i=i)
             if key in ("attn_norm", "ffn_norm"):
                 layers[key].append(get_v(name))
+            elif fused_qkv and key in ("wq", "wk", "wv"):
+                if key == "wq":  # split the fused [E, (H+2Hkv)·D] projection
+                    qkv = reader.tensor_float(f"blk.{i}.attn_qkv.weight").T
+                    hd = cfg.n_head * cfg.head_dim_
+                    kvd = cfg.n_head_kv * cfg.head_dim_
+                    layers["wq"].append(qkv[:, :hd].copy())
+                    layers["wk"].append(qkv[:, hd: hd + kvd].copy())
+                    layers["wv"].append(qkv[:, hd + kvd: hd + 2 * kvd].copy())
+            elif fused_gate_up and key in ("w_gate", "w_up"):
+                if key == "w_gate":  # phi3: ffn_up holds [gate; up] stacked
+                    gu = reader.tensor_float(f"blk.{i}.ffn_up.weight").T
+                    f_half = gu.shape[1] // 2
+                    layers["w_gate"].append(gu[:, :f_half].copy())
+                    layers["w_up"].append(gu[:, f_half:].copy())
             else:
                 layers[key].append(get_t(name))
         if has_bias:
@@ -168,12 +187,15 @@ class LlamaStatic:
     rms_eps: float
     act_fn: str
     causal: bool
+    emb_scale: float = 1.0
+    norm_plus_one: bool = False
 
     @classmethod
     def of(cls, cfg: ModelConfig) -> "LlamaStatic":
         return cls(
             cfg.n_head, cfg.n_head_kv, cfg.head_dim_, cfg.rope_dim_,
             cfg.rope_freq_base, cfg.rms_norm_eps, cfg.act_fn, cfg.causal,
+            cfg.emb_scale, cfg.norm_plus_one,
         )
 
 
@@ -199,12 +221,18 @@ def forward(
     interleaved = True  # ggml NORM rope for llama family
 
     x = params["tok_emb"][tokens]  # [B, T, E]
+    if cfg.emb_scale != 1.0:
+        x = x * jnp.asarray(cfg.emb_scale, x.dtype)  # gemma input scaling
     new_positions = jax.vmap(
         lambda p, s, q: p.at[s].set(q, mode="drop")
     )(cache.positions, slots, positions)
 
     act = _act(cfg.act_fn)
     eps = cfg.rms_eps
+
+    def norm(h, w):
+        # gemma applies RMSNorm weight as (1 + w)
+        return rms_norm(h, w + 1.0 if cfg.norm_plus_one else w, eps)
 
     # hoist RoPE trig out of the layer scan (computed once, reused L times)
     q_rope = rope_angles(positions, rope_dim, freq_base)
@@ -214,7 +242,7 @@ def forward(
         p, k_l, v_l, ks_l, vs_l = scanned  # k_l/v_l: [B, S, Hkv, D]
         B, T, E = x.shape
 
-        h = rms_norm(x, p["attn_norm"], eps)
+        h = norm(x, p["attn_norm"])
         q = qmm(h, p["wq"])
         k = qmm(h, p["wk"])
         v = qmm(h, p["wv"])
@@ -253,7 +281,7 @@ def forward(
         )
         x = x + qmm(attn.reshape(B, T, H * D), p["wo"])
 
-        h2 = rms_norm(x, p["ffn_norm"], eps)
+        h2 = norm(x, p["ffn_norm"])
         gate = act(qmm(h2, p["w_gate"]))
         x = x + qmm(gate * qmm(h2, p["w_up"]), p["w_down"])
         if "cvec" in p:
@@ -268,12 +296,12 @@ def forward(
 
     new_cache = KVCache(k_new, v_new, new_positions, ks_new, vs_new)
     if all_positions:
-        last_h = rms_norm(x, params["out_norm"], eps)        # [B, T, E]
+        last_h = norm(x, params["out_norm"])                 # [B, T, E]
     else:
         if logits_index is None:
             logits_index = jnp.full((tokens.shape[0],), tokens.shape[1] - 1, jnp.int32)
         last_h = jax.vmap(lambda xb, i: xb[i])(x, logits_index)  # [B, E]
-        last_h = rms_norm(last_h, params["out_norm"], eps)
+        last_h = norm(last_h, params["out_norm"])
     if return_hidden:
         return last_h, new_cache
     if isinstance(params["output"], (QuantTensor, QuantTensorA8)):

@@ -83,7 +83,7 @@ class Instance:
             )
         self.allocator = kvc.SlotAllocator(self.ctx_len)
 
-        if cfg.arch in ("llama", "mistral", "qwen2", "mixtral"):
+        if cfg.arch in ("llama", "mistral", "qwen2", "mixtral", "gemma", "gemma2", "phi3"):
             if cfg.is_moe:
                 from ..models.moe import make_step_fn
             else:

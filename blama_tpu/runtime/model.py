@@ -50,7 +50,7 @@ class Model:
         arch = self.config.arch
         if progress_cb:
             progress_cb(0.0)
-        if arch in ("llama", "mistral", "qwen2", "mixtral"):
+        if arch in ("llama", "mistral", "qwen2", "mixtral", "gemma", "gemma2", "phi3"):
             if self.config.is_moe:
                 from ..models.moe import load_moe_params
 

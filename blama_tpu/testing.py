@@ -507,3 +507,96 @@ def write_tiny_qwen2(path: str, seed: int = 31) -> None:
         g.add_tensor(f"blk.{i}.ffn_up.weight", w((F, E)))
         g.add_tensor(f"blk.{i}.ffn_down.weight", w((E, F)))
     g.write()
+
+
+def write_tiny_gemma(path: str, seed: int = 41) -> None:
+    """Tiny gemma-architecture GGUF: tied embeddings, sqrt(E) input scaling,
+    (1+w) RMSNorm, GELU, large head_dim."""
+    E, H, HKV, F, L, D = 128, 2, 1, 256, 2, 64
+    tokens, scores, types = tiny_spm_vocab()
+    n_vocab = len(tokens)
+    rng = np.random.default_rng(seed)
+
+    def w(shape, scale=None):
+        scale = scale if scale is not None else (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    g = GGUFWriter(path)
+    g.add_kv("general.architecture", "gemma")
+    g.add_kv("gemma.block_count", L)
+    g.add_kv("gemma.embedding_length", E)
+    g.add_kv("gemma.feed_forward_length", F)
+    g.add_kv("gemma.attention.head_count", H)
+    g.add_kv("gemma.attention.head_count_kv", HKV)
+    g.add_kv("gemma.attention.key_length", D)
+    g.add_kv("gemma.attention.layer_norm_rms_epsilon", 1e-6)
+    g.add_kv("gemma.context_length", 512)
+    g.add_kv("gemma.rope.dimension_count", D)
+    g.add_kv("gemma.vocab_size", n_vocab)
+    g.add_kv("tokenizer.ggml.model", "llama")
+    g.add_kv("tokenizer.ggml.tokens", tokens)
+    g.add_kv("tokenizer.ggml.scores", scores)
+    g.add_kv("tokenizer.ggml.token_type", types)
+    g.add_kv("tokenizer.ggml.bos_token_id", 1)
+    g.add_kv("tokenizer.ggml.eos_token_id", 2)
+    g.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    g.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    g.add_tensor("token_embd.weight", w((n_vocab, E), 0.05))
+    g.add_tensor("output_norm.weight", np.zeros(E, np.float32))  # (1+w) → 1.0
+    for i in range(L):
+        g.add_tensor(f"blk.{i}.attn_norm.weight", np.zeros(E, np.float32))
+        g.add_tensor(f"blk.{i}.attn_q.weight", w((H * D, E)))
+        g.add_tensor(f"blk.{i}.attn_k.weight", w((HKV * D, E)))
+        g.add_tensor(f"blk.{i}.attn_v.weight", w((HKV * D, E)))
+        g.add_tensor(f"blk.{i}.attn_output.weight", w((E, H * D)))
+        g.add_tensor(f"blk.{i}.ffn_norm.weight", np.zeros(E, np.float32))
+        g.add_tensor(f"blk.{i}.ffn_gate.weight", w((F, E)))
+        g.add_tensor(f"blk.{i}.ffn_up.weight", w((F, E)))
+        g.add_tensor(f"blk.{i}.ffn_down.weight", w((E, F)))
+    g.write()
+
+
+def write_tiny_phi3(path: str, seed: int = 43) -> None:
+    """Tiny phi3-architecture GGUF: fused attn_qkv + fused [gate;up] ffn_up."""
+    E, H, HKV, F, L = 256, 4, 2, 512, 2
+    D = E // H
+    tokens, scores, types = tiny_spm_vocab()
+    n_vocab = len(tokens)
+    rng = np.random.default_rng(seed)
+
+    def w(shape, scale=None):
+        scale = scale if scale is not None else (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    g = GGUFWriter(path)
+    g.add_kv("general.architecture", "phi3")
+    g.add_kv("phi3.block_count", L)
+    g.add_kv("phi3.embedding_length", E)
+    g.add_kv("phi3.feed_forward_length", F)
+    g.add_kv("phi3.attention.head_count", H)
+    g.add_kv("phi3.attention.head_count_kv", HKV)
+    g.add_kv("phi3.attention.layer_norm_rms_epsilon", 1e-5)
+    g.add_kv("phi3.context_length", 512)
+    g.add_kv("phi3.rope.dimension_count", D)
+    g.add_kv("phi3.vocab_size", n_vocab)
+    g.add_kv("tokenizer.ggml.model", "llama")
+    g.add_kv("tokenizer.ggml.tokens", tokens)
+    g.add_kv("tokenizer.ggml.scores", scores)
+    g.add_kv("tokenizer.ggml.token_type", types)
+    g.add_kv("tokenizer.ggml.bos_token_id", 1)
+    g.add_kv("tokenizer.ggml.eos_token_id", 2)
+    g.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    g.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    g.add_tensor("token_embd.weight", w((n_vocab, E), 0.05))
+    g.add_tensor("output_norm.weight", np.ones(E, np.float32))
+    g.add_tensor("output.weight", w((n_vocab, E)))
+    for i in range(L):
+        g.add_tensor(f"blk.{i}.attn_norm.weight", np.ones(E, np.float32))
+        g.add_tensor(f"blk.{i}.attn_qkv.weight", w(((H + 2 * HKV) * D, E)))
+        g.add_tensor(f"blk.{i}.attn_output.weight", w((E, H * D)))
+        g.add_tensor(f"blk.{i}.ffn_norm.weight", np.ones(E, np.float32))
+        g.add_tensor(f"blk.{i}.ffn_up.weight", w((2 * F, E)))
+        g.add_tensor(f"blk.{i}.ffn_down.weight", w((E, F)))
+    g.write()
