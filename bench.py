@@ -4,14 +4,16 @@
 Run by the driver on real TPU hardware at the end of every round; prints ONE
 JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Current configuration: TinyLlama-1.1B-geometry Q4_K GGUF (BASELINE.json
-config #1) — full load path (GGUF parse → dequant → upload) and the on-device
-fused decode loop. The reference publishes no throughput numbers
-(BASELINE.md), so vs_baseline is reported against the north-star bookkeeping
-value 1.0.
+Default configuration: Llama-3-8B-geometry Q4_K GGUF — THE BASELINE.json
+headline metric ("tokens/sec/chip at Q4_K 8B") — running via the fused
+Q4_K Pallas kernel (the only way 8B fits a single 16GB v5e chip). Full load
+path (GGUF parse → native repack → upload) + the on-device fused decode
+loop. The reference publishes no throughput numbers (BASELINE.md), so
+vs_baseline is null.
 
 Env knobs:
-  BLAMA_BENCH_PRESET   tinyllama-1.1b (default) | debug-0.3b | llama3-8b
+  BLAMA_BENCH_PRESET   llama3-8b (default) | tinyllama-1.1b | debug-0.3b
+  BLAMA_BENCH_DTYPE    q4k_fused (default for 8B) | bfloat16 | q4k_a8
   BLAMA_BENCH_STEPS    decode steps to time (default 64)
   BLAMA_BENCH_PROMPT   prompt length (default 128)
 """
@@ -40,13 +42,13 @@ def main() -> None:
     from blama_tpu.runtime.model import Model, ModelParams
     from blama_tpu.testing import synthesize_llama_gguf
 
-    preset = os.environ.get("BLAMA_BENCH_PRESET", "tinyllama-1.1b")
+    preset = os.environ.get("BLAMA_BENCH_PRESET", "llama3-8b")
     n_steps = int(os.environ.get("BLAMA_BENCH_STEPS", "64"))
     n_prompt = int(os.environ.get("BLAMA_BENCH_PROMPT", "128"))
-    # bf16 default: the fused q4k kernel currently trails bf16 on models that
-    # fit in HBM (VPU-bound unpack; int8-MXU path is the planned fix) — its
-    # value today is fitting 8B-class models in 16GB (6 vs 16 bits/weight).
-    wdtype = os.environ.get("BLAMA_BENCH_DTYPE", "bfloat16")
+    # 8B requires a quantized-weight mode (bf16 would need 16GB for weights
+    # alone); smaller presets run fastest in bf16.
+    default_dtype = "q4k_fused" if preset == "llama3-8b" else "bfloat16"
+    wdtype = os.environ.get("BLAMA_BENCH_DTYPE", default_dtype)
 
     path = os.path.join("/tmp", f"blama_bench_{preset}.gguf")
     if not os.path.exists(path):
