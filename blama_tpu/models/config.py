@@ -11,7 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
-SUPPORTED_ARCHS = ("llama", "mistral", "mixtral", "qwen2", "gpt2", "bert", "gemma", "phi3")
+SUPPORTED_ARCHS = ("llama", "mistral", "mixtral", "qwen2", "gpt2", "bert", "gemma", "phi3", "t5")
 
 
 @dataclass
@@ -110,6 +110,11 @@ class ModelConfig:
             cfg.tie_word_embeddings = True
             cfg.emb_scale = float(cfg.n_embd) ** 0.5
             cfg.norm_plus_one = True
+        elif arch == "t5":
+            cfg.has_encoder = True
+            cfg.extra["rel_buckets"] = int(g("attention.relative_buckets_count", 32) or 32)
+            cfg.extra["rel_max_distance"] = int(g("attention.relative_max_distance", 128) or 128)
+            cfg.extra["decoder_start_token_id"] = g("decoder_start_token_id")
 
         return cfg
 

@@ -83,16 +83,33 @@ class Instance:
             )
         self.allocator = kvc.SlotAllocator(self.ctx_len)
 
+        self._enc_out = None
+        self._enc_mask = None
         if cfg.arch in ("llama", "mistral", "qwen2", "mixtral", "gemma", "gemma2", "phi3"):
             if cfg.is_moe:
                 from ..models.moe import make_step_fn
             else:
                 from ..models.llama import make_step_fn
+            self._step = make_step_fn(cfg)
         elif cfg.arch == "gpt2":
             from ..models.gpt2 import make_step_fn
+
+            self._step = make_step_fn(cfg)
+        elif cfg.arch == "t5":
+            from ..models.t5 import T5Static, t5_decode_step
+
+            st = T5Static.of(cfg)
+
+            def step(params, tokens, positions, slots, cache, logits_index):
+                assert self._enc_out is not None, "t5: encode() must run first"
+                return t5_decode_step(
+                    st, params, tokens, positions, slots, cache,
+                    self._enc_out, self._enc_mask, logits_index,
+                )
+
+            self._step = step
         else:
             raise NotImplementedError(cfg.arch)
-        self._step = make_step_fn(cfg)
 
         self._session: Session | None = None
         self._loras: list = []
@@ -144,6 +161,9 @@ class Instance:
         """Single decode of [BOS, EOS] then clear (Instance.cpp:86-119)."""
         vocab = self.model.vocab
         tokens = [t for t in (vocab.bos(), vocab.eos()) if t >= 0] or [0]
+        if self.model.has_encoder():
+            self.encode(tokens)
+            tokens = [vocab.decoder_start_token()]
         self.decode(tokens, np.arange(len(tokens), dtype=np.int64))
         self.clear_cache()
 
@@ -222,4 +242,20 @@ class Instance:
         return np.asarray(logits[0]).astype(np.float32)
 
     def encode(self, tokens: list[int]) -> None:
-        raise NotImplementedError("encoder models not yet supported")
+        """Run the encoder stack; its output feeds decoder cross-attention
+        (llama_encode analog, Session.cpp:94-103)."""
+        cfg = self.model.config
+        if cfg.arch != "t5":
+            raise NotImplementedError(f"encoder not supported for {cfg.arch}")
+        from ..models.t5 import T5Static, t5_encode
+
+        n = len(tokens)
+        T = max(8, 1 << (n - 1).bit_length())
+        toks = np.zeros((1, T), np.int32)
+        toks[0, :n] = tokens
+        mask = np.zeros((1, T), bool)
+        mask[0, :n] = True
+        self._enc_out = t5_encode(
+            T5Static.of(cfg), self.model.weights, jnp.asarray(toks), jnp.asarray(mask)
+        )
+        self._enc_mask = jnp.asarray(mask)

@@ -68,6 +68,13 @@ class Model:
             from ..models.bert import load_bert_params
 
             w = load_bert_params(self.reader, self.config, dtype)
+        elif arch == "t5":
+            from ..models.t5 import load_t5_params
+
+            self.config.extra["gated_ffn"] = (
+                "dec.blk.0.ffn_gate.weight" in self.reader.tensors
+            )
+            w = load_t5_params(self.reader, self.config, dtype)
         else:
             raise NotImplementedError(f"architecture {arch!r}")
         if self.params.mesh is not None:

@@ -360,6 +360,7 @@ class Vocab:
     add_bos: bool = True
     add_eos: bool = False
     add_space_prefix: bool = True
+    decoder_start_id: int | None = None
 
     def __post_init__(self):
         self.token_to_id: dict[bytes, int] = {}
@@ -426,6 +427,9 @@ class Vocab:
             add_eos=bool(md.get("tokenizer.ggml.add_eos_token", False)),
             add_space_prefix=bool(md.get("tokenizer.ggml.add_space_prefix", model == "llama")),
         )
+        for key, val in md.items():
+            if key.endswith(".decoder_start_token_id") and val is not None:
+                v.decoder_start_id = int(val)
         return v
 
     @classmethod
@@ -455,6 +459,8 @@ class Vocab:
 
     def decoder_start_token(self) -> int:
         """Reference: Vocab::decoderStartToken falls back to BOS (Vocab.cpp:22-27)."""
+        if self.decoder_start_id is not None:
+            return self.decoder_start_id
         return self.bos()
 
     def is_eog(self, token: int) -> bool:

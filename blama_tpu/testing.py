@@ -600,3 +600,62 @@ def write_tiny_phi3(path: str, seed: int = 43) -> None:
         g.add_tensor(f"blk.{i}.ffn_up.weight", w((2 * F, E)))
         g.add_tensor(f"blk.{i}.ffn_down.weight", w((E, F)))
     g.write()
+
+
+def write_tiny_t5(path: str, seed: int = 61, gated: bool = False) -> None:
+    """Tiny T5 encoder-decoder GGUF (relative position buckets, cross-attn)."""
+    E, H, F, L, D = 64, 4, 128, 2, 16
+    n_buckets = 8
+    tokens, scores, types = tiny_spm_vocab()
+    n_vocab = len(tokens)
+    rng = np.random.default_rng(seed)
+
+    def w(shape, scale=None):
+        scale = scale if scale is not None else (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    g = GGUFWriter(path)
+    g.add_kv("general.architecture", "t5")
+    g.add_kv("t5.block_count", L)
+    g.add_kv("t5.embedding_length", E)
+    g.add_kv("t5.feed_forward_length", F)
+    g.add_kv("t5.attention.head_count", H)
+    g.add_kv("t5.attention.key_length", D)
+    g.add_kv("t5.attention.layer_norm_rms_epsilon", 1e-6)
+    g.add_kv("t5.attention.relative_buckets_count", n_buckets)
+    g.add_kv("t5.context_length", 512)
+    g.add_kv("t5.vocab_size", n_vocab)
+    g.add_kv("t5.decoder_start_token_id", 0)
+    g.add_kv("tokenizer.ggml.model", "llama")
+    g.add_kv("tokenizer.ggml.tokens", tokens)
+    g.add_kv("tokenizer.ggml.scores", scores)
+    g.add_kv("tokenizer.ggml.token_type", types)
+    g.add_kv("tokenizer.ggml.bos_token_id", 1)
+    g.add_kv("tokenizer.ggml.eos_token_id", 2)
+    g.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    g.add_kv("tokenizer.ggml.add_bos_token", False)
+
+    g.add_tensor("token_embd.weight", w((n_vocab, E), 0.05))
+    g.add_tensor("enc.output_norm.weight", np.ones(E, np.float32))
+    g.add_tensor("dec.output_norm.weight", np.ones(E, np.float32))
+    g.add_tensor("output.weight", w((n_vocab, E)))
+    for prefix in ("enc", "dec"):
+        for i in range(L):
+            g.add_tensor(f"{prefix}.blk.{i}.attn_norm.weight", np.ones(E, np.float32))
+            g.add_tensor(f"{prefix}.blk.{i}.attn_q.weight", w((H * D, E)))
+            g.add_tensor(f"{prefix}.blk.{i}.attn_k.weight", w((H * D, E)))
+            g.add_tensor(f"{prefix}.blk.{i}.attn_v.weight", w((H * D, E)))
+            g.add_tensor(f"{prefix}.blk.{i}.attn_o.weight", w((E, H * D)))
+            g.add_tensor(f"{prefix}.blk.{i}.ffn_norm.weight", np.ones(E, np.float32))
+            g.add_tensor(f"{prefix}.blk.{i}.ffn_up.weight", w((F, E)))
+            g.add_tensor(f"{prefix}.blk.{i}.ffn_down.weight", w((E, F)))
+            if gated:
+                g.add_tensor(f"{prefix}.blk.{i}.ffn_gate.weight", w((F, E)))
+            if prefix == "dec":
+                g.add_tensor(f"dec.blk.{i}.cross_attn_norm.weight", np.ones(E, np.float32))
+                g.add_tensor(f"dec.blk.{i}.cross_attn_q.weight", w((H * D, E)))
+                g.add_tensor(f"dec.blk.{i}.cross_attn_k.weight", w((H * D, E)))
+                g.add_tensor(f"dec.blk.{i}.cross_attn_v.weight", w((H * D, E)))
+                g.add_tensor(f"dec.blk.{i}.cross_attn_o.weight", w((E, H * D)))
+        g.add_tensor(f"{prefix}.blk.0.attn_rel_b.weight", w((n_buckets, H), 0.1))
+    g.write()
