@@ -189,13 +189,17 @@ class LlamaStatic:
     causal: bool
     emb_scale: float = 1.0
     norm_plus_one: bool = False
+    rope_scale: float = 1.0   # 1/factor for linear rope scaling
 
     @classmethod
     def of(cls, cfg: ModelConfig) -> "LlamaStatic":
+        rope_scale = 1.0
+        if cfg.rope_scaling_type == "linear" and cfg.rope_scale_factor:
+            rope_scale = 1.0 / cfg.rope_scale_factor
         return cls(
             cfg.n_head, cfg.n_head_kv, cfg.head_dim_, cfg.rope_dim_,
             cfg.rope_freq_base, cfg.rms_norm_eps, cfg.act_fn, cfg.causal,
-            cfg.emb_scale, cfg.norm_plus_one,
+            cfg.emb_scale, cfg.norm_plus_one, rope_scale,
         )
 
 
@@ -235,8 +239,9 @@ def forward(
         return rms_norm(h, w + 1.0 if cfg.norm_plus_one else w, eps)
 
     # hoist RoPE trig out of the layer scan (computed once, reused L times)
-    q_rope = rope_angles(positions, rope_dim, freq_base)
-    kv_rope = rope_angles(jnp.maximum(new_positions, 0), rope_dim, freq_base)
+    rs = getattr(cfg, "rope_scale", 1.0)
+    q_rope = rope_angles(positions, rope_dim, freq_base, rs)
+    kv_rope = rope_angles(jnp.maximum(new_positions, 0), rope_dim, freq_base, rs)
 
     def layer_fn(x, scanned):
         p, k_l, v_l, ks_l, vs_l = scanned  # k_l/v_l: [B, S, Hkv, D]
