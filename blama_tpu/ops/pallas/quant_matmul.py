@@ -130,7 +130,9 @@ def repack_q4k_for_tpu(data: np.ndarray, n_rows: int, row_len: int) -> QuantTens
 def _q4k_matmul_kernel(x_ref, codes_ref, scales_ref, out_ref):
     k = pl.program_id(1)
 
-    # Mosaic lacks sub-32-bit vector shifts: upcast before the bit ops
+    # int32 mask/shift unpack (measured faster than the float-domain
+    # floor/fma variant on the v5e VPU; Mosaic lacks sub-32-bit shifts so
+    # the upcast is required either way)
     codes = codes_ref[:].astype(jnp.int32)     # [KT/2, NT]
     lo = codes & 0xF
     hi = (codes >> 4) & 0xF
