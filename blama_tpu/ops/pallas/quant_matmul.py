@@ -156,7 +156,7 @@ def _q4k_matmul_kernel(x_ref, codes_ref, scales_ref, out_ref):
 
 
 @partial(jax.jit, static_argnums=(2,))
-def q4k_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 512) -> jnp.ndarray:
+def q4k_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 1024) -> jnp.ndarray:
     """x [B, K] @ packed W [K, N] → [B, N] f32."""
     B, K = x.shape
     K2, N = w.codes.shape
