@@ -219,7 +219,14 @@ def main() -> None:
 
     model = Model(model_path, progress_cb=progress)
     print()
-    api = Server(model)
+    sched_batch = int(os.environ.get("BLAMA_SCHEDULER", "0"))
+    if sched_batch > 0:
+        from .scheduler_server import SchedulerServer
+
+        api = SchedulerServer(model, max_batch=sched_batch)
+        print(f"continuous batching enabled (max_batch={sched_batch})")
+    else:
+        api = Server(model)
     srv = HttpServer((host, port), api)
     print(f"blama-tpu http server listening on {host}:{port}")
     try:

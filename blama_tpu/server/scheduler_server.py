@@ -1,0 +1,85 @@
+"""Scheduler-backed Server: continuous batching behind the same async API.
+
+Opt-in throughput mode (BLAMA_SCHEDULER=<max_batch> on the HTTP server):
+/complete and /chat/completions run on the ContinuousBatchingScheduler (many
+requests share batched decode steps, per-request seeds), while the
+verification endpoints stay on the deterministic solo-Session path — replay
+must be teacher-forced against a single-sequence cache state (SURVEY.md §7.2
+step 8: "verification requests runnable as teacher-forced batches" is the
+round-2 extension; batch-invariance of rows is already tested).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from ..runtime.chat import ChatFormat, ChatMsg
+from ..runtime.instance import InstanceInitParams
+from ..runtime.model import Model
+from ..runtime.sampler import SamplerParams
+from .scheduler import ContinuousBatchingScheduler, GenRequest
+from .server import (
+    ChatCompleteRequestParams,
+    CompleteRequestParams,
+    CompleteResponse,
+    LogitData,
+    Server,
+    TokenData,
+)
+
+
+class SchedulerServer(Server):
+    """Server facade whose generation endpoints run on the batching scheduler."""
+
+    def __init__(self, model: Model, instance_params: InstanceInitParams | None = None,
+                 max_batch: int = 8):
+        super().__init__(model, instance_params)
+        ctx = (instance_params.ctx_size if instance_params else 0) or model.config.n_ctx_train
+        self.scheduler = ContinuousBatchingScheduler(model, max_batch=max_batch, ctx_size=ctx)
+        self.scheduler.start()
+
+    def close(self) -> None:
+        self.scheduler.stop()
+        super().close()
+
+    def metrics_snapshot(self) -> dict:
+        snap = super().metrics_snapshot()
+        snap["scheduler"] = self.scheduler.metrics.snapshot()
+        return snap
+
+    # -- generation endpoints go through the scheduler -----------------------
+
+    def _submit(self, prompt_tokens, params, cb: Callable[[CompleteResponse], None]) -> None:
+        vocab = self._model.vocab
+
+        def done(preds):
+            cb([
+                TokenData(
+                    token_str=vocab.token_to_string(p.token),
+                    token_id=p.token,
+                    logits=[LogitData(td.token, td.logit) for td in p.logits],
+                )
+                for p in preds
+            ])
+
+        self.scheduler.submit(GenRequest(
+            prompt=prompt_tokens,
+            max_tokens=params.max_tokens or 128,
+            sampler_params=SamplerParams(
+                rng_seed=params.seed, temp=params.temperature, top_p=params.top_p
+            ),
+            on_done=done,
+        ))
+
+    def complete_text(self, params: CompleteRequestParams, cb) -> None:
+        tokens = self._model.vocab.tokenize(params.prompt, True, True)
+        self._submit(tokens, params, cb)
+
+    def chat_complete(self, params: ChatCompleteRequestParams, cb) -> None:
+        chat_params = ChatFormat.get_chat_params(self._model)
+        fmt = ChatFormat(chat_params)
+        text = fmt.format_chat([ChatMsg(m.role, m.content) for m in params.messages], True)
+        tokens = self._model.vocab.tokenize(text, True, True)
+        self._submit(tokens, params, cb)
+
+    # verify / chat_verify inherit the solo deterministic path from Server

@@ -133,3 +133,38 @@ def test_metrics_endpoint(http_server):
     assert snap["tokens_decoded"] >= 1
     assert snap["tokens_prefilled"] >= 1
     assert "timers" in snap
+
+
+def test_scheduler_backed_server(tmp_path):
+    """Opt-in continuous-batching server: same wire behavior on /complete and
+    verification passes against the solo replay path."""
+    import blama_tpu.server.scheduler_server as ss
+    from blama_tpu.server.http import HttpServer as HS
+
+    p = str(tmp_path / "s.gguf")
+    write_tiny_llama(p, GGMLType.Q8_0, chat_template=CHATML)
+    model = Model(p)
+    api = ss.SchedulerServer(model, InstanceInitParams(ctx_size=128), max_batch=2)
+    srv = HS(("127.0.0.1", 0), api)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        request = {"prompt": "hello world", "max_tokens": 5, "seed": 42, "temp": 0.0}
+        status, out = post(base + "/complete", request)
+        assert status == 200
+        assert len(out["tokenData"]) >= 1
+        assert len(out["tokenData"][0]["logits"]) == 10
+        # verification replays on the solo deterministic path and passes
+        status, vr = post(
+            base + "/verify_completion",
+            {"request": request, "response": {"tokenData": out["tokenData"]}},
+        )
+        assert status == 200
+        assert vr["result"] == pytest.approx(1.0, abs=1e-6)
+        snap = json.loads(urllib.request.urlopen(base + "/metrics", timeout=30).read())
+        assert "scheduler" in snap
+    finally:
+        srv.shutdown()
+        api.close()
+        model.close()
