@@ -345,7 +345,15 @@ class Session:
 
     # -- state save/restore --------------------------------------------------
 
-    def get_state(self) -> bytes:
+    def get_state(self, include_sampler_rng: bool = False) -> bytes:
+        """Serialize the session (KV + positions + bookkeeping).
+
+        Like the reference, the sampler RNG state is NOT captured by default
+        (llama_state_get_data excludes it — quirk pinned by
+        t-integration.cpp:378-381: restore-from-middle is reproducible but
+        differs from the original run). Pass include_sampler_rng=True for the
+        fixed behavior: restored sessions then continue the original stream.
+        """
         if self._phase != Phase.GENERATING:
             raise RuntimeError("Session hasn't started yet")
         self._flush_pending()
@@ -355,6 +363,14 @@ class Session:
         extra = {}
         if k_scale is not None:
             extra = {"k_scale": k_scale, "v_scale": v_scale}
+        if include_sampler_rng:
+            import pickle
+
+            extra["sampler_rng"] = np.frombuffer(
+                pickle.dumps((self._sampler._rng.bit_generator.state,
+                              self._sampler._xtc_rng.bit_generator.state)),
+                dtype=np.uint8,
+            )
         np.savez(
             buf,
             k=k, v=v, pos=pos, **extra,
@@ -383,6 +399,12 @@ class Session:
         self._num_keep = int(data["num_keep"])
         self._ga_index = int(data["ga_index"])
         self._last_logits = data["last_logits"]
+        if "sampler_rng" in data:
+            import pickle
+
+            rng_state, xtc_state = pickle.loads(data["sampler_rng"].tobytes())
+            self._sampler._rng.bit_generator.state = rng_state
+            self._sampler._xtc_rng.bit_generator.state = xtc_state
         self._phase = Phase.GENERATING
         return True
 

@@ -318,3 +318,23 @@ def test_suffix_via_complete_params(model, instance):
     ))
     assert len(preds) >= 1
     instance.stop_session()
+
+
+def test_state_with_sampler_rng_continues_original_stream(model, instance):
+    """include_sampler_rng=True fixes the reference's quirk: the restored
+    session continues the ORIGINAL stochastic stream."""
+    from blama_tpu.runtime.session import SessionInitParams as SIP
+
+    prompt = model.vocab.tokenize("hello world", True, True)
+    s = instance.start_session(SIP(seed=21, temperature=1.5, top_p=1.0))
+    s.set_initial_prompt(prompt)
+    s.complete(CompleteParams(max_tokens=4))
+    state = s.get_state(include_sampler_rng=True)
+    original_rest = [p.token for p in s.complete(CompleteParams(max_tokens=6))]
+    instance.stop_session()
+
+    s2 = instance.start_session(SIP(seed=21, temperature=1.5, top_p=1.0))
+    s2.set_state(state)
+    restored_rest = [p.token for p in s2.complete(CompleteParams(max_tokens=6))]
+    instance.stop_session()
+    assert restored_rest == original_rest
