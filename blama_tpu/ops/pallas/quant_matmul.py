@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...gguf.quants import _f16_col, _unpack_scale_min_k4
 
-KT = 256          # K-tile = one Q4_K superblock
+KT = 256          # one Q4_K superblock (the repack pairing unit)
+KB = 8            # superblocks per kernel K-step (grid-iteration amortization)
 GROUP = 32        # Q4_K sub-block size
 
 
@@ -132,18 +133,22 @@ def _q4k_matmul_kernel(x_ref, codes_ref, scales_ref, out_ref):
 
     # int32 mask/shift unpack (measured faster than the float-domain
     # floor/fma variant on the v5e VPU; Mosaic lacks sub-32-bit shifts so
-    # the upcast is required either way)
-    codes = codes_ref[:].astype(jnp.int32)     # [KT/2, NT]
-    lo = codes & 0xF
-    hi = (codes >> 4) & 0xF
-    q = jnp.concatenate([lo, hi], axis=0)      # [KT, NT] (pairing from repack)
-
-    scales = scales_ref[:].astype(jnp.float32)  # [KT/32, NT]
+    # the upcast is required either way). The block may hold several
+    # superblocks; the lo/hi pairing is per 256-row superblock, so unpack
+    # slab-wise.
+    codes = codes_ref[:].astype(jnp.int32)     # [kb·KT/2, NT]
     nt = codes.shape[1]
-    q3 = q.astype(jnp.float32).reshape(KT // GROUP, GROUP, nt)
-    w = (q3 * scales[:, None, :]).reshape(KT, nt)
+    kb = codes.shape[0] // (KT // 2)
+    cs = codes.reshape(kb, KT // 2, nt)
+    lo = cs & 0xF
+    hi = (cs >> 4) & 0xF
+    q = jnp.concatenate([lo, hi], axis=1).reshape(kb * KT, nt)
 
-    x = x_ref[:].astype(jnp.float32)           # [B, KT]
+    scales = scales_ref[:].astype(jnp.float32)  # [kb·KT/32, NT]
+    q3 = q.astype(jnp.float32).reshape(kb * KT // GROUP, GROUP, nt)
+    w = (q3 * scales[:, None, :]).reshape(kb * KT, nt)
+
+    x = x_ref[:].astype(jnp.float32)           # [B, kb·KT]
     partial_out = jnp.dot(x, w, preferred_element_type=jnp.float32)
 
     @pl.when(k == 0)
@@ -156,7 +161,7 @@ def _q4k_matmul_kernel(x_ref, codes_ref, scales_ref, out_ref):
 
 
 @partial(jax.jit, static_argnums=(2,))
-def q4k_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 1024) -> jnp.ndarray:
+def q4k_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 4096) -> jnp.ndarray:
     """x [B, K] @ packed W [K, N] → [B, N] f32."""
     B, K = x.shape
     K2, N = w.codes.shape
@@ -164,15 +169,17 @@ def q4k_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 1024) -> jnp.ndarr
     bn = min(block_n, N)
     while N % bn != 0:
         bn //= 2
-    grid = (N // bn, K // KT)
+    kb = KB if K % (KB * KT) == 0 else 1
+    kt_blk = kb * KT
+    grid = (N // bn, K // kt_blk)
 
     pos = pl.pallas_call(
         _q4k_matmul_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, KT), lambda n, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((KT // 2, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((KT // GROUP, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, kt_blk), lambda n, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt_blk // 2, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt_blk // GROUP, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, bn), lambda n, k: (0, n), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
