@@ -84,3 +84,18 @@ def test_sampled_params_fall_back(model):
     p2 = [p.token for p in s2.complete(CompleteParams(max_tokens=6))]
     inst2.stop_session()
     assert p1 == p2
+
+
+def test_fast_path_falls_back_after_context_shift(model):
+    """After a context-shift edit the slot layout is non-sequential; the fast
+    path must bail and the slow path must continue correctly."""
+    from blama_tpu.runtime.sampler import SamplerParams
+
+    inst = Instance(model, InstanceInitParams(ctx_size=32, fast_greedy=True))
+    s = inst.start_session(SessionInitParams(seed=1, temperature=0.0, infinite_context=True))
+    s.set_initial_prompt(model.vocab.tokenize("hello world", True, True))
+    bias = {t: -1e9 for t in range(model.vocab.n_tokens) if model.vocab.is_eog(t)}
+    s.reset_sampler(SamplerParams(temp=0.0, logit_bias=bias))
+    preds = s.complete(CompleteParams(max_tokens=48))  # crosses the ctx limit
+    inst.stop_session()
+    assert len(preds) > 30

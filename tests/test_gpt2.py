@@ -62,3 +62,10 @@ def test_gpt2_generation_and_replay(model):
     inst.stop_session()
     for o, r in zip(preds, replayed):
         assert {td.token: td.logit for td in o.logits} == {td.token: td.logit for td in r.logits}
+
+
+def test_bpe_unicode_roundtrip(model):
+    v = model.vocab
+    for text in ["héllo wörld", "日本語テスト", "🚀 emoji!", "mixed 🎉 text"]:
+        toks = v.tokenize(text, False, False)
+        assert v.detokenize(toks) == text

@@ -338,3 +338,13 @@ def test_state_with_sampler_rng_continues_original_stream(model, instance):
     restored_rest = [p.token for p in s2.complete(CompleteParams(max_tokens=6))]
     instance.stop_session()
     assert restored_rest == original_rest
+
+
+def test_spm_unicode_byte_fallback(model, instance):
+    """Unknown unicode falls back to byte tokens and detokenizes losslessly."""
+    v = model.vocab
+    for text in ["héllo", "日本", "🚀"]:
+        toks = v.tokenize(text, False, False)
+        # leading SPM space prefix is part of llama.cpp semantics
+        out = v.detokenize(toks)
+        assert text in out.replace("▁", " ")
