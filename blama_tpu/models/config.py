@@ -28,6 +28,8 @@ class ModelConfig:
     rope_dim: int = 0                  # rotary dims per head (0 → head_dim)
     rope_scaling_type: str = "none"    # none | linear | yarn
     rope_scale_factor: float = 1.0
+    rope_attn_factor: float = 1.0      # YaRN attention magnitude scale
+    rope_orig_ctx: int = 0             # YaRN original context (0 → n_ctx_train)
     rms_norm_eps: float = 1e-5
     layer_norm_eps: float = 1e-5
     n_expert: int = 0
@@ -93,6 +95,8 @@ class ModelConfig:
         if scaling:
             cfg.rope_scaling_type = str(scaling)
             cfg.rope_scale_factor = float(g("rope.scaling.factor", 1.0) or 1.0)
+            cfg.rope_attn_factor = float(g("rope.scaling.attn_factor", 1.0) or 1.0)
+            cfg.rope_orig_ctx = int(g("rope.scaling.original_context_length", 0) or 0)
 
         tokens = md.get("tokenizer.ggml.tokens")
         cfg.n_vocab = int(g("vocab_size", 0) or (len(tokens) if tokens is not None else 0))

@@ -151,6 +151,9 @@ def load_llama_params(
         params["output"] = get_t("output.weight")  # (E, V)
     else:  # tied embeddings
         params["output"] = params["tok_emb"].T.copy()
+    if "rope_freqs.weight" in reader.tensors:
+        # llama-3.1 long-rope frequency factors [rope_dim/2]
+        params["rope_freqs"] = get_v("rope_freqs.weight")
 
     # pad the vocab dim of the output head to a multiple of 128: TPU-friendly
     # lane tiling AND exact divisibility for vocab-sharded tensor parallelism.
@@ -189,17 +192,26 @@ class LlamaStatic:
     causal: bool
     emb_scale: float = 1.0
     norm_plus_one: bool = False
-    rope_scale: float = 1.0   # 1/factor for linear rope scaling
+    rope_scale: float = 1.0   # 1/factor for linear/yarn rope scaling
+    # YaRN NTK-by-parts (None unless rope.scaling.type == "yarn"):
+    # (ext_factor, attn_factor, beta_fast, beta_slow, orig_ctx)
+    yarn: tuple | None = None
 
     @classmethod
     def of(cls, cfg: ModelConfig) -> "LlamaStatic":
         rope_scale = 1.0
-        if cfg.rope_scaling_type == "linear" and cfg.rope_scale_factor:
+        yarn = None
+        if cfg.rope_scaling_type in ("linear", "yarn") and cfg.rope_scale_factor:
             rope_scale = 1.0 / cfg.rope_scale_factor
+        if cfg.rope_scaling_type == "yarn":
+            # ggml defaults: ext_factor=1 for yarn models, beta_fast=32,
+            # beta_slow=1, orig ctx from metadata (fallback train ctx)
+            yarn = (1.0, cfg.rope_attn_factor, 32.0, 1.0,
+                    cfg.rope_orig_ctx or cfg.n_ctx_train)
         return cls(
             cfg.n_head, cfg.n_head_kv, cfg.head_dim_, cfg.rope_dim_,
             cfg.rope_freq_base, cfg.rms_norm_eps, cfg.act_fn, cfg.causal,
-            cfg.emb_scale, cfg.norm_plus_one, rope_scale,
+            cfg.emb_scale, cfg.norm_plus_one, rope_scale, yarn,
         )
 
 
@@ -240,8 +252,12 @@ def forward(
 
     # hoist RoPE trig out of the layer scan (computed once, reused L times)
     rs = getattr(cfg, "rope_scale", 1.0)
-    q_rope = rope_angles(positions, rope_dim, freq_base, rs)
-    kv_rope = rope_angles(jnp.maximum(new_positions, 0), rope_dim, freq_base, rs)
+    yarn = getattr(cfg, "yarn", None)
+    ff = params.get("rope_freqs")  # llama-3.1 per-dim frequency divisors
+    q_rope = rope_angles(positions, rope_dim, freq_base, rs,
+                         yarn=yarn, freq_factors=ff)
+    kv_rope = rope_angles(jnp.maximum(new_positions, 0), rope_dim, freq_base, rs,
+                          yarn=yarn, freq_factors=ff)
 
     def layer_fn(x, scanned):
         p, k_l, v_l, ks_l, vs_l = scanned  # k_l/v_l: [B, S, Hkv, D]
