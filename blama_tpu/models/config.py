@@ -46,6 +46,10 @@ class ModelConfig:
     emb_scale: float = 1.0             # input embedding multiplier (gemma: sqrt(E))
     norm_plus_one: bool = False        # RMSNorm weight applied as (1 + w) (gemma)
     chat_template: str = ""
+    # fixed-topology contraction blocks for sharding-invariant logits
+    # (power of two ≥ max tp degree; 0 = plain contraction). Set by Model
+    # from ModelParams, not from GGUF metadata.
+    tp_blocks: int = 0
     # extra raw metadata for model-specific needs
     extra: dict[str, Any] = field(default_factory=dict)
 

@@ -24,7 +24,9 @@ from ..gguf.reader import GGUFReader
 from ..ops.attention import attention
 from ..ops.kv_cache import KVCache, dequantize_kv, quantize_kv
 from ..ops.norms import rms_norm
-from ..ops.pallas.quant_matmul import QuantTensor, QuantTensorA8, qmm
+from ..ops.pallas.quant_matmul import (
+    QuantTensor, QuantTensorA8, qmm, qmm_blocked, qmm_nblocked,
+)
 from ..ops.rope import apply_rope, rope_angles
 from .config import ModelConfig
 
@@ -193,6 +195,9 @@ class LlamaStatic:
     emb_scale: float = 1.0
     norm_plus_one: bool = False
     rope_scale: float = 1.0   # 1/factor for linear/yarn rope scaling
+    # fixed-topology contraction blocks for the tp-sharded matmuls (wo,
+    # w_down); bit-exact logits at any tp | tp_blocks. 0 = plain contraction.
+    tp_blocks: int = 0
     # YaRN NTK-by-parts (None unless rope.scaling.type == "yarn"):
     # (ext_factor, attn_factor, beta_fast, beta_slow, orig_ctx)
     yarn: tuple | None = None
@@ -211,7 +216,8 @@ class LlamaStatic:
         return cls(
             cfg.n_head, cfg.n_head_kv, cfg.head_dim_, cfg.rope_dim_,
             cfg.rope_freq_base, cfg.rms_norm_eps, cfg.act_fn, cfg.causal,
-            cfg.emb_scale, cfg.norm_plus_one, rope_scale, yarn,
+            cfg.emb_scale, cfg.norm_plus_one, rope_scale,
+            tp_blocks=getattr(cfg, "tp_blocks", 0), yarn=yarn,
         )
 
 
@@ -263,10 +269,15 @@ def forward(
         p, k_l, v_l, ks_l, vs_l = scanned  # k_l/v_l: [B, S, Hkv, D]
         B, T, E = x.shape
 
+        # tp_blocks mode pins every matmul's per-device leaf shape so logits
+        # are bit-identical at any sharding (cross-sharding verification,
+        # SURVEY.md §2.3): output-sharded projections get fixed-width column
+        # blocks, contraction-sharded ones a fixed K-block add tree.
+        tpb = getattr(cfg, "tp_blocks", 0)
         h = norm(x, p["attn_norm"])
-        q = qmm(h, p["wq"])
-        k = qmm(h, p["wk"])
-        v = qmm(h, p["wv"])
+        q = qmm_nblocked(h, p["wq"], tpb)
+        k = qmm_nblocked(h, p["wk"], tpb)
+        v = qmm_nblocked(h, p["wv"], tpb)
         if "bq" in p:
             q = q + p["bq"]
             k = k + p["bk"]
@@ -300,11 +311,11 @@ def forward(
             rope_dim=rope_dim, freq_base=freq_base,
             interleaved=interleaved, causal=cfg.causal, kv_rope=kv_rope,
         )
-        x = x + qmm(attn.reshape(B, T, H * D), p["wo"])
+        x = x + qmm_blocked(attn.reshape(B, T, H * D), p["wo"], tpb)
 
         h2 = norm(x, p["ffn_norm"])
-        gate = act(qmm(h2, p["w_gate"]))
-        x = x + qmm(gate * qmm(h2, p["w_up"]), p["w_down"])
+        gate = act(qmm_nblocked(h2, p["w_gate"], tpb))
+        x = x + qmm_blocked(gate * qmm_nblocked(h2, p["w_up"], tpb), p["w_down"], tpb)
         if "cvec" in p:
             # control-vector steering: per-layer residual bias
             # (llama_apply_adapter_cvec analog, Instance.cpp:73-84)
@@ -325,8 +336,16 @@ def forward(
         last_h = norm(last_h, params["out_norm"])
     if return_hidden:
         return last_h, new_cache
+    tpb_head = getattr(cfg, "tp_blocks", 0)
     if isinstance(params["output"], (QuantTensor, QuantTensorA8)):
         logits = qmm(last_h.astype(jnp.float32), params["output"])
+    elif tpb_head:
+        # vocab-sharded head: fixed-width column blocks for cross-sharding
+        # bit-exactness (see layer_fn comment)
+        logits = qmm_nblocked(
+            last_h.astype(params["output"].dtype), params["output"], tpb_head,
+            out_dtype=jnp.float32,
+        )
     else:
         # keep operands in weight dtype (bf16 reads from HBM), accumulate f32
         logits = jnp.dot(

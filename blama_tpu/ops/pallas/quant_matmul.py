@@ -200,6 +200,58 @@ def q4k_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 4096) -> jnp.ndarr
     return pos - jnp.dot(xg_sum, w.mins, preferred_element_type=jnp.float32)
 
 
+def qmm_blocked(x: jnp.ndarray, w, nb: int) -> jnp.ndarray:
+    """Fixed-topology K-blocked matmul: bit-identical logits at any tensor-
+    parallel degree tp dividing nb (SURVEY.md §7.3 hardest-part #1).
+
+    The contraction axis is split into `nb` blocks whose f32 partial products
+    combine through a balanced binary tree pinned by the graph structure.
+    GSPMD shards the block axis across tp devices, but every engine — from
+    the single chip the verifier replays on to an 8-way-tp prover — performs
+    the same additions with the same association, so LogitComparer replay
+    across shardings is exact rather than threshold-level. Enable via
+    ModelConfig.tp_blocks (a power of two); nb=0 falls back to the plain
+    contraction.
+    """
+    if (not nb or isinstance(w, (QuantTensor, QuantTensorA8))
+            or x.shape[-1] % nb or nb & (nb - 1)):
+        return qmm(x, w)
+    lead, K = x.shape[:-1], x.shape[-1]
+    xb = x.reshape(-1, nb, K // nb).swapaxes(0, 1)   # [nb, M, Kb]
+    wb = w.reshape(nb, K // nb, -1)
+    parts = jax.lax.dot_general(
+        xb, wb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # [nb, M, N]
+    while parts.shape[0] > 1:
+        parts = parts[0::2] + parts[1::2]
+    return parts[0].reshape(*lead, -1).astype(x.dtype)
+
+
+def qmm_nblocked(x: jnp.ndarray, w, nb: int, out_dtype=None) -> jnp.ndarray:
+    """Output-blocked matmul companion to qmm_blocked: pins the per-device
+    gemm leaf shape for output-sharded projections (wq/k/v, gate/up, lm head).
+
+    No cross-device arithmetic happens in these matmuls, but backend codegen
+    may pick a K-accumulation order that varies with the LOCAL output width
+    (observed on the XLA CPU backend), which breaks cross-tp bit-exactness.
+    Batching the columns into `nb` fixed-width blocks makes every engine
+    compute identical [M, K] x [K, N/nb] leaves regardless of tp; the
+    concatenation is pure data movement."""
+    if (not nb or isinstance(w, (QuantTensor, QuantTensorA8))
+            or w.shape[-1] % nb):
+        return qmm(x, w)
+    lead, K = x.shape[:-1], x.shape[-1]
+    N = w.shape[-1]
+    wb = w.reshape(K, nb, N // nb).transpose(1, 0, 2)       # [nb, K, Nb]
+    xf = x.reshape(-1, K)
+    xb = jnp.broadcast_to(xf, (nb,) + xf.shape)
+    parts = jax.lax.dot_general(
+        xb, wb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                 # [nb, M, Nb]
+    out = parts.transpose(1, 0, 2).reshape(*lead, N)
+    return out.astype(out_dtype or x.dtype)
+
+
 def qmm(x: jnp.ndarray, w) -> jnp.ndarray:
     """Matmul dispatch: dense jnp array or packed QuantTensor.
 

@@ -31,6 +31,10 @@ class ModelParams:
     dtype: str = "float32"           # float32 | bfloat16 | q4k_fused | q4k_a8
     mesh: object = None              # jax Mesh for sharded load (parallel/)
     sharding_rules: object = None
+    # Fixed-topology contraction blocking (sharding-invariant logits).
+    # -1 = auto: 8 when a mesh is given, else 0 (plain contraction). A solo
+    # verifier replaying a tp-sharded prover must set the prover's value.
+    tp_blocks: int = -1
 
 
 class Model:
@@ -39,6 +43,8 @@ class Model:
         self.params = params or ModelParams()
         self.reader = GGUFReader(gguf_path)
         self.config = ModelConfig.from_gguf(self.reader)
+        tpb = self.params.tp_blocks
+        self.config.tp_blocks = (8 if self.params.mesh is not None else 0) if tpb < 0 else tpb
         self.vocab = Vocab.from_gguf(self.reader)
         self.weights = None
         if not self.params.vocab_only:

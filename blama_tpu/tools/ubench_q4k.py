@@ -219,6 +219,111 @@ def w4a8_packed_matmul(x, codes_packed, scales, mins, block_n=4096, kb=8):
     return pos - neg
 
 
+# --------------------------------------------------------------------------
+# v6: SWAR nibble unpack + wide int8 plane dots
+# --------------------------------------------------------------------------
+def _v6_kernel(planes_lo_ref, planes_hi_ref, xs_ref, codes_ref, scales_ref, out_ref):
+    ks = pl.program_id(1)
+    w32 = pltpu.bitcast(codes_ref[:], jnp.int32)        # [kb*32, bn]
+    lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)      # [kb*128, bn]
+    hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
+    pl_lo = planes_lo_ref[:]                            # i8 [P*B, kb*128]
+    pl_hi = planes_hi_ref[:]
+    PB = pl_lo.shape[0]
+    bn = lo.shape[1]
+    kb = lo.shape[0] // 128
+    P = kb * 4
+    B = PB // P
+    ip_lo = jax.lax.dot_general(pl_lo, lo, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    ip_hi = jax.lax.dot_general(pl_hi, hi, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    ws = scales_ref[:].astype(jnp.float32).reshape(kb, 8, bn)
+    xs = xs_ref[:].astype(jnp.float32).reshape(kb, 8, B)
+    ws_lo = ws[:, :4].reshape(P, 1, bn)
+    ws_hi = ws[:, 4:].reshape(P, 1, bn)
+    xs_lo = xs[:, :4].reshape(P, B, 1)
+    xs_hi = xs[:, 4:].reshape(P, B, 1)
+    acc = jnp.sum(ip_lo.astype(jnp.float32).reshape(P, B, bn) * ws_lo * xs_lo, axis=0)
+    acc += jnp.sum(ip_hi.astype(jnp.float32).reshape(P, B, bn) * ws_hi * xs_hi, axis=0)
+
+    @pl.when(ks == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(ks != 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+def _quant_acts(x):
+    """[B, K] float → (xq i8 [B, K], xs [K/32, B], xsum [K/32, B])."""
+    B, K = x.shape
+    xg = x.astype(jnp.float32).reshape(B, K // GROUP, GROUP)
+    amax = jnp.max(jnp.abs(xg), axis=-1)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+    xqg = jnp.round(xg * inv[..., None]).astype(jnp.int8)
+    xsum = jnp.sum(xqg.astype(jnp.int32), axis=-1).astype(jnp.float32)
+    return xqg.reshape(B, K), scale.T, xsum.T
+
+
+def _v6_planes(xq, kb):
+    """xq [B, K] i8 → (planes_lo, planes_hi) [4*kb*B, K/2] i8."""
+    B, K = xq.shape
+    slab = kb * qm.KT
+    ns = K // slab
+    xr = xq.reshape(B, ns, kb, 2, 128)
+    x_lo = xr[:, :, :, 0].reshape(B, K // 2)
+    x_hi = xr[:, :, :, 1].reshape(B, K // 2)
+    P = kb * 4
+    i = jnp.arange(K // 2) % (kb * 128)
+    p_of_i = (i // 128) * 4 + (i % 128) // 32          # [K/2]
+    def mk(xh):
+        return jnp.concatenate(
+            [jnp.where(p_of_i[None, :] == p, xh, jnp.int8(0)) for p in range(P)],
+            axis=0)
+    return mk(x_lo), mk(x_hi)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def w4a8_swar_matmul(x, codes_packed, scales, mins, block_n=2048, kb=8):
+    B, K = x.shape
+    N = codes_packed.shape[1]
+    bn = min(block_n, N)
+    while N % bn != 0:
+        bn //= 2
+    while K % (kb * qm.KT) != 0:
+        kb //= 2
+    slab = kb * qm.KT
+    P = kb * 4
+    xq, xsT, xsumT = _quant_acts(x)
+    p_lo, p_hi = _v6_planes(xq, kb)
+    grid = (N // bn, K // slab)
+    pos = pl.pallas_call(
+        _v6_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P * B, slab // 2), lambda n, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P * B, slab // 2), lambda n, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab // GROUP, B), lambda n, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab // 2, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab // GROUP, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, bn), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * P * B * (K // 2) * N,
+            bytes_accessed=K * N // 2 + (K // GROUP) * N * 2 + P * B * K + B * N * 4,
+            transcendentals=0),
+    )(p_lo, p_hi, xsT, codes_packed, scales)
+    neg = jnp.dot((xsT * xsumT).T, mins.astype(jnp.float32),
+                  preferred_element_type=jnp.float32)
+    return pos - neg
+
+
 def make_weights(K, N, L, rng):
     """L layers of synthetic Q4_K-style packed data (random codes/scales)."""
     codes = rng.integers(0, 16, (L, K, N), dtype=np.uint8)
@@ -333,6 +438,14 @@ def main():
     t, o3 = timed(fn, x0, (packed, scales_f16, mins_f16), n=iters, label="v3")
     report("v3 packed4 unpack->i8 plane-dot", t, "q4k_packed")
 
+    # --- v6: SWAR unpack + wide plane dots -----------------------------------
+    def step_v6(x, wl):
+        return w4a8_swar_matmul(x, wl[0], wl[1], wl[2])
+
+    fn, iters = run_scan(step_v6, (packed, scales_f16, mins_f16), x0, 320)
+    t, _ = timed(fn, x0, (packed, scales_f16, mins_f16), n=iters, label="v6")
+    report("v6 SWAR packed4 plane-dot", t, "q4k_packed")
+
     # --- v4: existing pure-XLA W4A8 ------------------------------------------
     def step_v4(x, wl):
         w = qm.QuantTensorA8(wl[0], wl[1], wl[2], n_out=N)
@@ -360,6 +473,7 @@ def main():
         ("v1", lambda: q4k_matmul_v1(x0, packed[0], scales[0], mins[0])),
         ("v2", lambda: w4a8_plane_matmul(x0, codes_i8[0], scales_f16[0], mins_f16[0])),
         ("v3", lambda: w4a8_packed_matmul(x0, packed[0], scales_f16[0], mins_f16[0])),
+        ("v6", lambda: w4a8_swar_matmul(x0, packed[0], scales_f16[0], mins_f16[0])),
         ("v4", lambda: qm.w4a8_matmul(x0, qm.QuantTensorA8(
             codes_i8[0], scales_f16[0], mins_f16[0], n_out=N))),
     ]:

@@ -37,13 +37,16 @@ def test_mesh_shapes():
         make_mesh(4, 4)
 
 
-def _run_step(model, mesh):
+def _run_step(model, mesh, tp_blocks=0, specs=None, kv=None):
     cfg = model.config
     st = LlamaStatic.of(cfg)
+    if tp_blocks:
+        import dataclasses
+        st = dataclasses.replace(st, tp_blocks=tp_blocks)
     B, S, T = mesh.shape["dp"], 32, 8
-    specs = sh.specs_for_tree(model.weights, sh.llama_param_specs())
+    specs = sh.specs_for_tree(model.weights, specs or sh.llama_param_specs())
     params = sh.shard_params(model.weights, mesh, specs)
-    kv = sh.kv_cache_specs()
+    kv = kv or sh.kv_cache_specs()
     cache = KVCache.create(cfg.n_layer, B, S, cfg.n_head_kv, cfg.head_dim_, jnp.float32)
     cache = KVCache(
         jax.device_put(cache.k, NamedSharding(mesh, kv["k"])),
@@ -79,6 +82,24 @@ def test_cross_sharding_logit_agreement(model):
     t1 = set(np.argsort(-l1[0])[:10].tolist())
     t4 = set(np.argsort(-l4[0])[:10].tolist())
     assert t1 == t4
+
+
+def test_cross_sharding_bit_exact_with_tp_blocks(model):
+    """With tp_blocks=8, every matmul's per-device gemm leaf shape is pinned
+    (fixed-width column blocks for output-sharded projections, a fixed
+    K-block add tree for contraction-sharded ones), so the FULLY tp-sharded
+    model produces BIT-IDENTICAL logits at tp 1/2/4 and under dp — the
+    north-star cross-sharding verification guarantee (any-host-count replay,
+    SURVEY.md §7.3 hardest-part #1)."""
+    # tp is bounded by the fixture's 4 kv heads (KV shards on the head axis)
+    l1 = _run_step(model, make_mesh(1, 1), tp_blocks=8)
+    l2 = _run_step(model, make_mesh(1, 2), tp_blocks=8)
+    l4 = _run_step(model, make_mesh(1, 4), tp_blocks=8)
+    ldp = _run_step(model, make_mesh(2, 4), tp_blocks=8)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_array_equal(l1, l4)
+    np.testing.assert_array_equal(l1[0], ldp[0])
+    np.testing.assert_array_equal(ldp[0], ldp[1])
 
 
 def test_sharded_session_matches_unsharded(model):
