@@ -127,28 +127,36 @@ def load_llama_params(
             for key, pat in _OPTIONAL_BIASES.items():
                 layers[key].append(get_v(pat.format(i=i)))
 
+    # Quantized modes keep per-layer weights as SEPARATE arrays and the layer
+    # loop unrolled: a lax.scan over stacked codes forces XLA to copy each
+    # layer's packed bytes before the Pallas call (custom-call operands can't
+    # alias a dynamic slice), costing ~25% of decode HBM traffic (measured
+    # 0.198 → 0.142 ms on the 8B FFN tile). Dense modes keep the stacked
+    # scan: dynamic-slice fuses into plain dots for free and one traced body
+    # compiles much faster.
+    any_quant = any(
+        isinstance(v, (QuantTensor, QuantTensorA8))
+        for vs in layers.values() for v in vs
+    )
+
     def stack(vs):
-        if isinstance(vs[0], QuantTensorA8):
-            return QuantTensorA8(
-                jnp.stack([v.codes for v in vs]),
-                jnp.stack([v.scales for v in vs]),
-                jnp.stack([v.mins for v in vs]),
-                n_out=vs[0].n_out,
-            )
-        if isinstance(vs[0], QuantTensor):
-            return QuantTensor(
-                jnp.stack([v.codes for v in vs]),
-                jnp.stack([v.scales for v in vs]),
-                jnp.stack([v.mins for v in vs]),
-                n_out=vs[0].n_out,
-            )
         return np.stack(vs)
 
-    params = {
-        "tok_emb": get_v("token_embd.weight"),  # (V, E)
-        "out_norm": get_v("output_norm.weight"),
-        "layers": {k: stack(v) for k, v in layers.items()},
-    }
+    if any_quant:
+        layer_list = [
+            {k: layers[k][i] for k in layers} for i in range(cfg.n_layer)
+        ]
+        params = {
+            "tok_emb": get_v("token_embd.weight"),  # (V, E)
+            "out_norm": get_v("output_norm.weight"),
+            "layers": layer_list,
+        }
+    else:
+        params = {
+            "tok_emb": get_v("token_embd.weight"),  # (V, E)
+            "out_norm": get_v("output_norm.weight"),
+            "layers": {k: stack(v) for k, v in layers.items()},
+        }
     if "output.weight" in reader.tensors:
         params["output"] = get_t("output.weight")  # (E, V)
     else:  # tied embeddings
@@ -322,9 +330,28 @@ def forward(
             x = x + p["cvec"]
         return x, (k_l, v_l, ks_l, vs_l)
 
-    x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
-        layer_fn, x, (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
-    )
+    if isinstance(params["layers"], (list, tuple)):
+        # unrolled layer loop (quantized modes): per-layer weights stay
+        # separate arrays so Pallas kernels read packed codes in place —
+        # no scan-slice copies (see load_llama_params)
+        k_all, v_all = cache.k, cache.v
+        ks_all, vs_all = cache.k_scale, cache.v_scale
+        for li_, p_ in enumerate(params["layers"]):
+            x, (k_l, v_l, ks_l, vs_l) = layer_fn(
+                x, (p_, k_all[li_], v_all[li_],
+                    None if ks_all is None else ks_all[li_],
+                    None if vs_all is None else vs_all[li_]))
+            k_all = k_all.at[li_].set(k_l)
+            v_all = v_all.at[li_].set(v_l)
+            if ks_all is not None:
+                ks_all = ks_all.at[li_].set(ks_l)
+                vs_all = vs_all.at[li_].set(vs_l)
+        k_new, v_new, ks_new, vs_new = k_all, v_all, ks_all, vs_all
+    else:
+        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+            layer_fn, x,
+            (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+        )
 
     new_cache = KVCache(k_new, v_new, new_positions, ks_new, vs_new)
     if all_positions:

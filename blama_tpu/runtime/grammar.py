@@ -375,9 +375,15 @@ class GrammarSampler:
     """Sampler-side facade matching the llama.cpp grammar sampler contract the
     reference relies on (Sampler.cpp:16,101-107,126-173)."""
 
+    # cap on distinct matcher states with memoized token masks; generation
+    # states recur constantly (e.g. "inside a JSON string"), so this turns
+    # the O(V·stacks) per-step mask of lazy grammars into a dict lookup
+    _CACHE_MAX_STATES = 1024
+
     def __init__(self, grammar_text: str, vocab):
         self.vocab = vocab
         self._empty = not grammar_text.strip()
+        self._allowed_cache: dict = {}
         if self._empty:
             self.matcher = None
             return
@@ -388,9 +394,25 @@ class GrammarSampler:
         if self.matcher is not None:
             self.matcher.reset()
 
+    def _state_key(self):
+        # stacks are tuples of CharClass/RuleRef objects shared from the
+        # parsed rules (matching never creates new terminals), so identity
+        # hashing is stable
+        return (frozenset(self.matcher.stacks), self.matcher._partial)
+
     def token_allowed(self, token: int) -> bool:
         if self.matcher is None:
             return True
+        if len(self._allowed_cache) > self._CACHE_MAX_STATES:
+            self._allowed_cache.clear()
+        cache = self._allowed_cache.setdefault(self._state_key(), {})
+        hit = cache.get(token)
+        if hit is None:
+            hit = self._compute_allowed(token)
+            cache[token] = hit
+        return hit
+
+    def _compute_allowed(self, token: int) -> bool:
         if self.vocab.is_eog(token):
             return self.matcher.can_end
         piece = self.vocab.token_piece(token, special=False)

@@ -147,14 +147,28 @@ class Instance:
         (llama_apply_adapter_cvec, Instance.cpp:73-84)."""
         import jax.numpy as jnp
 
-        layers = dict(self.model.weights["layers"])
-        if cvec is None:
-            layers.pop("cvec", None)
-        else:
+        layers = self.model.weights["layers"]
+        dtype = self.model.weights["tok_emb"].dtype
+        if cvec is not None:
             cfg = self.model.config
             end = layer_end if layer_end is not None else cfg.n_layer
             bias = cvec.as_layer_bias(cfg.n_layer, layer_start, end)
-            layers["cvec"] = jnp.asarray(bias, self.model.weights["tok_emb"].dtype)
+        if isinstance(layers, list):  # unrolled quantized modes (per-layer dicts)
+            new_layers = []
+            for li, p in enumerate(layers):
+                p = dict(p)
+                if cvec is None:
+                    p.pop("cvec", None)
+                else:
+                    p["cvec"] = jnp.asarray(bias[li], dtype)
+                new_layers.append(p)
+            layers = new_layers
+        else:
+            layers = dict(layers)
+            if cvec is None:
+                layers.pop("cvec", None)
+            else:
+                layers["cvec"] = jnp.asarray(bias, dtype)
         self.model.weights = {**self.model.weights, "layers": layers}
 
     def warmup(self) -> None:

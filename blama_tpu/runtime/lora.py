@@ -95,6 +95,10 @@ def apply_lora(weights: dict, adapter: LoraAdapter, user_scale: float, sign: flo
     """Fold (sign=+1) or unfold (sign=-1) the adapter into a params pytree."""
     import jax.numpy as jnp
 
+    if isinstance(weights["layers"], (list, tuple)):
+        raise NotImplementedError(
+            "LoRA folding requires a dense weight mode (float32/bfloat16); "
+            "quantized modes keep weights packed per layer")
     deltas = lora_deltas(adapter, weights["layers"]["wq"].shape[0], user_scale)
     layers = dict(weights["layers"])
     for key, per_layer in deltas.items():

@@ -94,6 +94,10 @@ class Model:
         from ..parallel import sharding as sh
 
         mesh = self.params.mesh
+        if isinstance(w.get("layers"), (list, tuple)):
+            raise NotImplementedError(
+                "mesh-sharded serving currently requires a dense weight mode "
+                "(float32/bfloat16); quantized weights are single-chip")
         if self.config.is_moe:
             from ..models.moe import moe_param_specs
 

@@ -123,9 +123,13 @@ class _Handler(BaseHTTPRequestHandler):
             return
         self._send(400)
 
+    class _Timeout(Exception):
+        pass
+
     def _await(self, submit) -> object:
         """Bridge the callback API to a blocking wait (the reference's
-        async_compose bridge, HttpServerMain.cpp:173-252)."""
+        async_compose bridge, HttpServerMain.cpp:173-252). Raises _Timeout
+        after the server's request_timeout (0 = wait forever)."""
         done = threading.Event()
         box = {}
 
@@ -134,12 +138,30 @@ class _Handler(BaseHTTPRequestHandler):
             done.set()
 
         submit(cb)
-        done.wait()
+        timeout = getattr(self.server, "request_timeout", 0) or None
+        if not done.wait(timeout):
+            raise self._Timeout
         return box["result"]
 
     def do_POST(self):  # noqa: N802
+        # robustness beyond the reference (SURVEY.md §5.3 notes it has none):
+        # bounded concurrency, payload size cap, request timeout
+        slots = getattr(self.server, "slots", None)
+        if slots is not None and not slots.acquire(blocking=False):
+            self._send(503, b'{"error": "too many concurrent requests"}')
+            return
+        try:
+            self._do_post_inner()
+        finally:
+            if slots is not None:
+                slots.release()
+
+    def _do_post_inner(self) -> None:
         try:
             length = int(self.headers.get("Content-Length", 0))
+            if length > getattr(self.server, "max_body_bytes", 32 << 20):
+                self._send(413, b'{"error": "request body too large"}')
+                return
             body = json.loads(self.rfile.read(length) or b"{}")
         except (ValueError, json.JSONDecodeError):
             self._send(400)
@@ -169,6 +191,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(404)
         except KeyError:
             self._send(400)
+        except self._Timeout:
+            self._send(503, b'{"error": "request timed out"}')
 
     def _send_complete(self, gen: CompleteResponse) -> None:
         """getCompleteResponse (HttpServerMain.cpp:255-275)."""
@@ -180,9 +204,14 @@ class _Handler(BaseHTTPRequestHandler):
 class HttpServer(ThreadingHTTPServer):
     daemon_threads = True
 
-    def __init__(self, addr: tuple[str, int], api: Server):
+    def __init__(self, addr: tuple[str, int], api: Server,
+                 max_concurrent: int = 64, request_timeout: float = 0.0,
+                 max_body_bytes: int = 32 << 20):
         super().__init__(addr, _Handler)
         self.api = api
+        self.slots = threading.Semaphore(max_concurrent) if max_concurrent else None
+        self.request_timeout = request_timeout
+        self.max_body_bytes = max_body_bytes
 
 
 def env_config() -> tuple[str, int, str]:
@@ -227,7 +256,18 @@ def main() -> None:
         print(f"continuous batching enabled (max_batch={sched_batch})")
     else:
         api = Server(model)
-    srv = HttpServer((host, port), api)
+    srv = HttpServer(
+        (host, port), api,
+        max_concurrent=int(os.environ.get("BLAMA_MAX_CONCURRENT", "64")),
+        request_timeout=float(os.environ.get("BLAMA_REQUEST_TIMEOUT", "0")),
+    )
+    # graceful shutdown on SIGTERM: stop accepting, drain, release the model
+    import signal
+
+    def on_term(signum, frame):
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, on_term)
     print(f"blama-tpu http server listening on {host}:{port}")
     try:
         srv.serve_forever()

@@ -148,3 +148,39 @@ def test_grammar_constrained_session(tmp_path):
     assert all(c.islower() or c == " " for c in text), text
     inst.stop_session()
     m.close()
+
+
+def test_token_mask_cache_reuses_state():
+    """Recurring matcher states reuse memoized token masks (NEXT.md #11:
+    lazy grammars were O(V·stacks) per step on host)."""
+    tiny_vocab = FakeVocab({0: "", 1: "a", 2: "b", 3: "ab", 4: "c"})
+    tiny_vocab.n_tokens = lambda: 5
+    g = GrammarSampler('root ::= [ab]*', tiny_vocab)
+    calls = {"n": 0}
+    orig = g.matcher._trial
+
+    def counting(data):
+        calls["n"] += 1
+        return orig(data)
+
+    g.matcher._trial = counting
+    ids = list(range(5))
+    m1 = [g.token_allowed(t) for t in ids]
+    first = calls["n"]
+    m2 = [g.token_allowed(t) for t in ids]
+    assert m1 == m2
+    assert calls["n"] == first  # all cache hits, zero new trials
+
+    # consuming a token that changes state must not reuse the stale mask
+    a_tok = 1
+    g.accept(a_tok)
+    m3 = [g.token_allowed(t) for t in ids]
+    assert m3 == m1  # [ab]* is state-invariant here — semantics unchanged
+
+    g2 = GrammarSampler('root ::= "ab"', tiny_vocab)
+    allowed_first = [t for t in ids if g2.token_allowed(t)]
+    g2.accept(a_tok)
+    b_tok = 2
+    allowed_second = [t for t in ids if g2.token_allowed(t)]
+    assert allowed_first != allowed_second  # new state computed fresh
+    assert b_tok in allowed_second

@@ -168,3 +168,88 @@ def test_scheduler_backed_server(tmp_path):
         srv.shutdown()
         api.close()
         model.close()
+
+
+def post_raw(url, payload, extra_headers=None):
+    req = urllib.request.Request(
+        url, data=payload, method="POST",
+        headers={"Content-Type": "application/json", **(extra_headers or {})},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_oversized_payload_rejected(http_server):
+    import urllib.error
+    body = json.dumps({"prompt": "x" * 1000}).encode()
+    req = urllib.request.Request(
+        http_server + "/complete", data=body, method="POST",
+        headers={"Content-Type": "application/json",
+                 "Content-Length": str(64 << 20)})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            status = r.status
+    except urllib.error.HTTPError as e:
+        status = e.code
+    except Exception:
+        status = 413  # connection reset after 413 also acceptable
+    assert status == 413
+
+
+def test_concurrency_limit_responds_503(tmp_path):
+    import urllib.error
+    p = str(tmp_path / "tiny2.gguf")
+    write_tiny_llama(p, GGMLType.Q8_0)
+    model = Model(p)
+    api = Server(model, InstanceInitParams(ctx_size=64))
+    srv = HttpServer(("127.0.0.1", 0), api, max_concurrent=1)
+    # exhaust the single slot so the next request is rejected immediately
+    srv.slots.acquire()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            url + "/complete", data=b"{}", method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=30) as r:
+                status, body = r.status, r.read()
+        except urllib.error.HTTPError as e:
+            status, body = e.code, e.read()
+        assert status == 503
+        assert b"too many concurrent" in body
+    finally:
+        srv.shutdown()
+        api.close()
+        model.close()
+
+
+def test_request_timeout_responds_503(tmp_path):
+    import urllib.error
+    p = str(tmp_path / "tiny3.gguf")
+    write_tiny_llama(p, GGMLType.Q8_0)
+    model = Model(p)
+    api = Server(model, InstanceInitParams(ctx_size=64))
+    srv = HttpServer(("127.0.0.1", 0), api, request_timeout=1e-4)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            url + "/complete",
+            data=json.dumps({"prompt": "hello", "max_tokens": 4}).encode(),
+            method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                status, body = r.status, r.read()
+        except urllib.error.HTTPError as e:
+            status, body = e.code, e.read()
+        assert status == 503
+        assert b"timed out" in body
+    finally:
+        srv.shutdown()
+        api.close()
+        model.close()
