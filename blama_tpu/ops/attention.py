@@ -1,8 +1,7 @@
 """Attention over the position-mapped KV cache.
 
-XLA implementation (MXU einsums, f32 softmax). The Pallas fused-decode kernel
-in ops/pallas/decode_attention.py specializes the T=1 path; this module is the
-reference semantics both must match bit-for-bit for verification replay.
+XLA implementation (MXU einsums, f32 softmax); the reference semantics any
+fused variant must match bit-for-bit for verification replay.
 
 Replaces llama.cpp's ggml attention graph the reference drives via
 llama_decode (/root/reference/inference/code/llama/Session.cpp:384-392).
