@@ -25,7 +25,7 @@ from ..ops.attention import attention
 from ..ops.kv_cache import KVCache, dequantize_kv, quantize_kv
 from ..ops.norms import rms_norm
 from ..ops.pallas.quant_matmul import (
-    QuantTensor, QuantTensorA8, qmm, qmm_blocked, qmm_nblocked,
+    QuantTensor, QuantTensorA8, QuantTensorK4, qmm, qmm_blocked, qmm_nblocked,
 )
 from ..ops.rope import apply_rope, rope_angles
 from .config import ModelConfig
@@ -78,11 +78,19 @@ def load_llama_params(
 
     def get_t(name: str):
         if fused_quant and reader.tensors[name].ggml_type == GGMLType.Q4_K:
-            from ..ops.pallas.quant_matmul import repack_q4k_for_tpu, repack_q4k_w4a8
+            from ..ops.pallas.quant_matmul import (
+                repack_q4k_for_tpu, repack_q4k_native, repack_q4k_w4a8,
+            )
 
             info = reader.tensors[name]
             n_rows, row_len = info.ne[1], info.ne[0]
-            repack = repack_q4k_w4a8 if fused_quant == "a8" else repack_q4k_for_tpu
+            # default fused path: expanded f32-scale layout (6 b/w) — the
+            # decode loop is VPU-bound, so the smaller 4.5 b/w native layout
+            # ("k4") measured SLOWER end-to-end (73 vs 87 tok/s at 8B: its
+            # in-kernel 6-bit scale decode adds VPU work); it remains the
+            # memory-tight option. "a8" = int8-MXU W4A8.
+            repack = {"a8": repack_q4k_w4a8,
+                      "k4": repack_q4k_native}.get(fused_quant, repack_q4k_for_tpu)
             return repack(reader.tensor_bytes(name), n_rows, row_len)
         return reader.tensor_float(name).T.copy()  # (n_in, n_out)
 
@@ -135,7 +143,7 @@ def load_llama_params(
     # scan: dynamic-slice fuses into plain dots for free and one traced body
     # compiles much faster.
     any_quant = any(
-        isinstance(v, (QuantTensor, QuantTensorA8))
+        isinstance(v, (QuantTensor, QuantTensorA8, QuantTensorK4))
         for vs in layers.values() for v in vs
     )
 
@@ -169,17 +177,17 @@ def load_llama_params(
     # lane tiling AND exact divisibility for vocab-sharded tensor parallelism.
     # forward() slices logits back to the true vocab size. (QuantTensors pad
     # internally at repack time.)
-    if not isinstance(params["output"], (QuantTensor, QuantTensorA8)):
+    if not isinstance(params["output"], (QuantTensor, QuantTensorA8, QuantTensorK4)):
         v = params["output"].shape[1]
         v_pad = -(-v // 128) * 128
         if v_pad != v:
             params["output"] = np.pad(params["output"], ((0, 0), (0, v_pad - v)))
 
     def conv(a):
-        return a if isinstance(a, (QuantTensor, QuantTensorA8)) else jnp.asarray(a, dtype)
+        return a if isinstance(a, (QuantTensor, QuantTensorA8, QuantTensorK4)) else jnp.asarray(a, dtype)
 
     return jax.tree_util.tree_map(
-        conv, params, is_leaf=lambda x: isinstance(x, (QuantTensor, QuantTensorA8))
+        conv, params, is_leaf=lambda x: isinstance(x, (QuantTensor, QuantTensorA8, QuantTensorK4))
     )
 
 
@@ -364,7 +372,7 @@ def forward(
     if return_hidden:
         return last_h, new_cache
     tpb_head = getattr(cfg, "tp_blocks", 0)
-    if isinstance(params["output"], (QuantTensor, QuantTensorA8)):
+    if isinstance(params["output"], (QuantTensor, QuantTensorA8, QuantTensorK4)):
         logits = qmm(last_h.astype(jnp.float32), params["output"])
     elif tpb_head:
         # vocab-sharded head: fixed-width column blocks for cross-sharding

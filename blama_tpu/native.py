@@ -72,8 +72,20 @@ def get_lib() -> ctypes.CDLL | None:
             ("blama_dequant_q8_0", [u8p, f32p, ctypes.c_int64]),
             ("blama_repack_q4k", [u8p, ctypes.c_int64, ctypes.c_int64,
                                   ctypes.c_int64, u8p, f32p, f32p]),
+            ("blama_repack_q4k_native", [u8p, ctypes.c_int64, ctypes.c_int64,
+                                         ctypes.c_int64, u8p,
+                                         ctypes.POINTER(ctypes.c_int32),
+                                         ctypes.POINTER(ctypes.c_int32)]),
         ):
-            fn = getattr(lib, name)
+            fn = getattr(lib, name, None)
+            if fn is None:  # stale cached .so from before the symbol existed
+                _LIB = None
+                import logging
+
+                logging.getLogger("blama_tpu.native").warning(
+                    "native library missing %s; rebuild (make native) — "
+                    "falling back to numpy paths", name)
+                return None
             fn.argtypes = args
             fn.restype = None
         _LIB = lib
@@ -125,3 +137,24 @@ def native_repack_q4k(data: np.ndarray, n_rows: int, row_len: int):
     mins = np.zeros((K // 32, n_pad), np.float32)
     lib.blama_repack_q4k(_u8(src), N, K, n_pad, _u8(codes), _f32(scales), _f32(mins))
     return codes, scales, mins, n_pad
+
+
+def native_repack_q4k_native(data: np.ndarray, n_rows: int, row_len: int):
+    """Threaded C++ Q4_K→native-layout (4.5 b/w) repack; None if unavailable.
+
+    Returns (codes u8 [K/2, N_pad], ddm i32 [K/256, N_pad],
+    scmn i32 [3*K/256, N_pad], n_pad)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    K, N = row_len, n_rows
+    n_pad = -(-N // 256) * 256
+    src = np.ascontiguousarray(np.frombuffer(data, dtype=np.uint8))
+    codes = np.zeros((K // 2, n_pad), np.uint8)
+    ddm = np.zeros((K // 256, n_pad), np.int32)
+    scmn = np.zeros((3 * K // 256, n_pad), np.int32)
+    lib.blama_repack_q4k_native(
+        _u8(src), N, K, n_pad, _u8(codes),
+        ddm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        scmn.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return codes, ddm, scmn, n_pad

@@ -28,7 +28,7 @@ class ModelParams:
 
     vocab_only: bool = False
     prefix_inputs_with_bos: bool = False
-    dtype: str = "float32"           # float32 | bfloat16 | q4k_fused | q4k_a8
+    dtype: str = "float32"           # float32 | bfloat16 | q4k_fused | q4k_fused_k4 | q4k_a8
     mesh: object = None              # jax Mesh for sharded load (parallel/)
     sharding_rules: object = None
     # Fixed-topology contraction blocking (sharding-invariant logits).
@@ -51,8 +51,14 @@ class Model:
             self.weights = self._load_weights(progress_cb)
 
     def _load_weights(self, progress_cb: ModelLoadProgressCb | None):
-        fused = {"q4k_fused": True, "q4k_a8": "a8"}.get(self.params.dtype, False)
-        dtype = jnp.bfloat16 if self.params.dtype in ("bfloat16", "q4k_fused", "q4k_a8") else jnp.float32
+        # q4k_fused = f32-scale layout (6 b/w, VPU-cheapest); q4k_fused_k4 =
+        # native 4.5 b/w layout (lowest memory); q4k_a8 = int8-MXU W4A8
+        fused = {"q4k_fused": True, "q4k_fused_k4": "k4",
+                 "q4k_a8": "a8"}.get(self.params.dtype, False)
+        dtype = (jnp.bfloat16
+                 if self.params.dtype in ("bfloat16", "q4k_fused",
+                                          "q4k_fused_k4", "q4k_a8")
+                 else jnp.float32)
         arch = self.config.arch
         if progress_cb:
             progress_cb(0.0)

@@ -225,6 +225,47 @@ void blama_repack_q4k(
     });
 }
 
+// Q4_K GGUF bytes → native-layout (4.5 bits/weight) TPU kernel arrays:
+//   codes_packed u8 [K/2, N_pad] (pairing as blama_repack_q4k)
+//   ddm   i32 [K/256, N_pad]   d f16 bits | dmin f16 bits << 16
+//   scmn  i32 [3*K/256, N_pad] the 12-byte 6-bit sc/mn block as 3 LE words
+void blama_repack_q4k_native(
+    const uint8_t* src, int64_t n_rows, int64_t row_len, int64_t n_pad,
+    uint8_t* codes_packed, int32_t* ddm, int32_t* scmn) {
+    const int64_t blocks_per_row = row_len / 256;
+    parallel_for(n_rows, [&](int64_t lo, int64_t hi) {
+        for (int64_t r = lo; r < hi; ++r) {
+            const uint8_t* row = src + r * blocks_per_row * 144;
+            for (int64_t bb = 0; bb < blocks_per_row; ++bb) {
+                const uint8_t* blk = row + bb * 144;
+                uint32_t dd;
+                memcpy(&dd, blk, 4);  // d | dmin<<16 (LE)
+                ddm[bb * n_pad + r] = (int32_t)dd;
+                for (int wd = 0; wd < 3; ++wd) {
+                    uint32_t w;
+                    memcpy(&w, blk + 4 + 4 * wd, 4);
+                    scmn[(bb * 3 + wd) * n_pad + r] = (int32_t)w;
+                }
+                const uint8_t* qs = blk + 16;
+                int64_t k0 = bb * 256;
+                uint8_t tile[256];
+                for (int c = 0; c < 4; ++c) {
+                    const uint8_t* q = qs + 32 * c;
+                    for (int l = 0; l < 32; ++l) {
+                        tile[64 * c + l] = q[l] & 0xF;
+                        tile[64 * c + 32 + l] = q[l] >> 4;
+                    }
+                }
+                uint8_t* out_base = codes_packed + (k0 / 2) * n_pad + r;
+                for (int j = 0; j < 128; ++j) {
+                    out_base[(int64_t)j * n_pad] =
+                        (uint8_t)(tile[j] | (tile[j + 128] << 4));
+                }
+            }
+        }
+    });
+}
+
 int blama_native_version(void) { return 1; }
 
 }  // extern "C"

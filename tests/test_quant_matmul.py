@@ -146,3 +146,65 @@ def test_w4a8_session_self_consistent(tmp_path):
     for o, r in zip(preds, replayed):
         assert {t.token: t.logit for t in o.logits} == {t.token: t.logit for t in r.logits}
     m.close()
+
+
+# ---------------------------------------------------------------------------
+# native 4.5 b/w layout
+# ---------------------------------------------------------------------------
+
+def test_native_layout_dequant_values_bitwise(packed_weight):
+    """One-hot probes: the native kernel's implied dequant values must be
+    BITWISE equal to the host dequant path (the in-kernel f16→f32 and 6-bit
+    sc/mn decode reproduce f32(d)·sc exactly)."""
+    from blama_tpu.ops.pallas.quant_matmul import (
+        q4k_native_matmul, repack_q4k_native)
+
+    packed, w_exact, N, K = packed_weight
+    w = repack_q4k_native(packed, N, K)
+    for k_probe in (0, 1, 31, 32, 127, 128, 255, 256, K - 1):
+        x = np.zeros((1, K), np.float32)
+        x[0, k_probe] = 1.0
+        y = np.asarray(q4k_native_matmul(jnp.asarray(x), w))[0, :N]
+        np.testing.assert_array_equal(y, w_exact.T[k_probe])
+
+
+def test_native_layout_matches_f32s_kernel(packed_weight):
+    from blama_tpu.ops.pallas.quant_matmul import (
+        q4k_native_matmul, repack_q4k_native)
+
+    packed, w_exact, N, K = packed_weight
+    wn = repack_q4k_native(packed, N, K)
+    wo = repack_q4k_for_tpu(packed, N, K)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((3, K)).astype(np.float32))
+    yn = np.asarray(q4k_native_matmul(x, wn))[:, :N]
+    yo = np.asarray(q4k_matmul(x, wo))[:, :N]
+    ref = np.asarray(x) @ w_exact.T
+    assert np.max(np.abs(yn - ref)) < 1e-4 * np.max(np.abs(ref))
+    assert np.max(np.abs(yn - yo)) < 1e-5 * np.max(np.abs(ref))
+
+
+def test_native_fused_session_matches_default_session(tmp_path):
+    """End-to-end: the native-layout engine's greedy tokens equal the default
+    fused engine's (identical dequant values; only the min-term association
+    differs)."""
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "t.gguf")
+    write_tiny_llama(p, GGMLType.Q4_K)
+
+    def run(dtype):
+        m = Model(p, ModelParams(dtype=dtype))
+        inst = Instance(m, InstanceInitParams(ctx_size=64))
+        s = inst.start_session(SessionInitParams(seed=11, temperature=0.0))
+        s.set_initial_prompt(m.vocab.tokenize("hello world", True, True))
+        toks = [t.token for t in s.complete(CompleteParams(max_tokens=6))]
+        inst.stop_session()
+        m.close()
+        return toks
+
+    assert run("q4k_fused") == run("q4k_fused_k4")
