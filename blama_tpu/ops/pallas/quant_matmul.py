@@ -262,6 +262,14 @@ def qmm(x: jnp.ndarray, w) -> jnp.ndarray:
         flat = x.reshape(-1, x.shape[-1])
         out = q4k_native_matmul(flat, w)[:, : w.n_out]
         return out.reshape(*lead, -1).astype(x.dtype)
+    if isinstance(w, QuantTensorA8S):
+        lead = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1])
+        if flat.shape[0] <= A8S_MAX_BATCH:
+            out = w4a8_swar_matmul(flat, w)[:, : w.n_out]
+        else:  # prefill: exact kernel amortizes its unpack over the batch
+            out = q4k_matmul(flat, w)[:, : w.n_out]
+        return out.reshape(*lead, -1).astype(x.dtype)
     if isinstance(w, QuantTensor):
         lead = x.shape[:-1]
         flat = x.reshape(-1, x.shape[-1])
@@ -273,6 +281,152 @@ def qmm(x: jnp.ndarray, w) -> jnp.ndarray:
         out = w4a8_matmul(flat, w)[:, : w.n_out]
         return out.reshape(*lead, -1).astype(x.dtype)
     return x @ w
+
+
+# ---------------------------------------------------------------------------
+# W4A8 SWAR kernel: int8 activations × packed 4-bit codes on the MXU
+# ---------------------------------------------------------------------------
+#
+# The exact kernel above spends ~2.4 VPU ops/weight on unpack+convert+scale —
+# the decode loop's binding resource. This variant moves the multiply work to
+# the MXU: activations are quantized per (row, 32-group) to int8 (llama.cpp's
+# Q8_1 activation quantization for K-quant dot products — the reference
+# engine's own numerics, SURVEY.md §2.2), nibbles are extracted SWAR-style
+# (bitcast to i32 lanes, ONE mask per four lo-nibbles, bitcast to i8), and
+# group-partial dot products come from int8 MXU matmuls against plane-masked
+# activation copies. Per-weight VPU work drops to ~0.5 ops.
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantTensorA8S(QuantTensor):
+    """Same arrays as QuantTensor; marks dispatch to the SWAR int8-MXU
+    kernel (W4A8 numerics) instead of the exact f32 dequant kernel."""
+
+
+def repack_q4k_a8s(data: np.ndarray, n_rows: int, row_len: int) -> QuantTensorA8S:
+    w = repack_q4k_for_tpu(data, n_rows, row_len)
+    # bf16 scales/mins: 5 bits/weight total. With the multiply moved to the
+    # int8 MXU the decode loop is HBM-streaming-bound, so the byte saving wins
+    # outright; scale rounding (~0.4%) is below the activation-quant noise.
+    return QuantTensorA8S(w.codes, w.scales.astype(jnp.bfloat16),
+                          w.mins.astype(jnp.bfloat16), n_out=w.n_out)
+
+
+def _quant_acts(x: jnp.ndarray):
+    """[B, K] float → (xq i8 [B, K], xs f32 [K/32, B], xsum f32 [K/32, B])."""
+    B, K = x.shape
+    xg = x.astype(jnp.float32).reshape(B, K // GROUP, GROUP)
+    amax = jnp.max(jnp.abs(xg), axis=-1)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+    xqg = jnp.round(xg * inv[..., None]).astype(jnp.int8)
+    xsum = jnp.sum(xqg.astype(jnp.int32), axis=-1).astype(jnp.float32)
+    return xqg.reshape(B, K), scale.T, xsum.T
+
+
+def _a8s_planes(xq: jnp.ndarray, kb: int):
+    """xq [B, K] i8 → (planes_lo, planes_hi) [4*kb*B, K/2] i8.
+
+    Plane p = (t, g) of a kb-superblock slab holds the activations of
+    superblock t's group g (lo: groups 0-3 at byte rows, hi: groups 4-7),
+    zeros elsewhere — one int8 matmul of the stacked planes against the
+    nibble matrix yields every per-(superblock, group) partial sum."""
+    B, K = xq.shape
+    xr = xq.reshape(B, K // (kb * KT), kb, 2, KT // 2)
+    x_lo = xr[:, :, :, 0].reshape(B, K // 2)
+    x_hi = xr[:, :, :, 1].reshape(B, K // 2)
+    P = kb * 4
+    i = jnp.arange(K // 2) % (kb * (KT // 2))
+    p_of_i = (i // (KT // 2)) * 4 + (i % (KT // 2)) // GROUP
+    def mk(xh):
+        return jnp.concatenate(
+            [jnp.where(p_of_i[None, :] == p, xh, jnp.int8(0)) for p in range(P)],
+            axis=0)
+    return mk(x_lo), mk(x_hi)
+
+
+def _a8s_kernel(planes_lo_ref, planes_hi_ref, xs_ref, codes_ref, scales_ref,
+                out_ref):
+    ks = pl.program_id(1)
+    w32 = pltpu.bitcast(codes_ref[:], jnp.int32)        # [kb*KT/8, bn]
+    lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)      # [kb*KT/2, bn]
+    hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
+    pl_lo = planes_lo_ref[:]                            # i8 [P*B, kb*KT/2]
+    pl_hi = planes_hi_ref[:]
+    PB = pl_lo.shape[0]
+    bn = lo.shape[1]
+    kb = lo.shape[0] // (KT // 2)
+    P = kb * 4
+    B = PB // P
+    ip_lo = jax.lax.dot_general(pl_lo, lo, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    ip_hi = jax.lax.dot_general(pl_hi, hi, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    ws = scales_ref[:].astype(jnp.float32).reshape(kb, 8, bn)
+    xs = xs_ref[:].astype(jnp.float32).reshape(kb, 8, B)
+    acc = jnp.sum(ip_lo.astype(jnp.float32).reshape(P, B, bn)
+                  * ws[:, :4].reshape(P, 1, bn) * xs[:, :4].reshape(P, B, 1),
+                  axis=0)
+    acc += jnp.sum(ip_hi.astype(jnp.float32).reshape(P, B, bn)
+                   * ws[:, 4:].reshape(P, 1, bn) * xs[:, 4:].reshape(P, B, 1),
+                   axis=0)
+
+    @pl.when(ks == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(ks != 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+# decode-batch cap: plane count is 4·kb·B rows; beyond this the exact kernel
+# amortizes its unpack over the batch anyway (prefill is not VPU-bound)
+A8S_MAX_BATCH = 16
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def w4a8_swar_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 2048,
+                     kb: int = 4) -> jnp.ndarray:
+    """x [B, K] @ packed W [K, N] → [B, N] f32 via SWAR unpack + int8 MXU."""
+    B, K = x.shape
+    K2, N = w.codes.shape
+    assert K == K2 * 2, (x.shape, w.codes.shape)
+    bn = min(block_n, N)
+    while N % bn != 0:
+        bn //= 2
+    while K % (kb * KT) != 0:
+        kb //= 2
+    slab = kb * KT
+    P = kb * 4
+    xq, xsT, xsumT = _quant_acts(x)
+    p_lo, p_hi = _a8s_planes(xq, kb)
+    grid = (N // bn, K // slab)
+    pos = pl.pallas_call(
+        _a8s_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P * B, slab // 2), lambda n, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P * B, slab // 2), lambda n, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab // GROUP, B), lambda n, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab // 2, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab // GROUP, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, bn), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * P * B * (K // 2) * N,
+            bytes_accessed=K * N // 2 + (K // GROUP) * N * 4 + P * B * K + B * N * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(p_lo, p_hi, xsT, w.codes, w.scales)
+    neg = jnp.dot((xsT * xsumT).T, w.mins, preferred_element_type=jnp.float32)
+    return pos - neg
 
 
 # ---------------------------------------------------------------------------

@@ -208,3 +208,36 @@ def test_native_fused_session_matches_default_session(tmp_path):
         return toks
 
     assert run("q4k_fused") == run("q4k_fused_k4")
+
+
+def test_a8s_kernel_accuracy(packed_weight):
+    """SWAR int8-MXU kernel vs exact dequant matmul: W4A8 numerics
+    (llama.cpp Q8_1-activation class, ~1% rel)."""
+    from blama_tpu.ops.pallas.quant_matmul import (
+        repack_q4k_a8s, w4a8_swar_matmul)
+
+    packed, w_exact, N, K = packed_weight
+    w = repack_q4k_a8s(packed, N, K)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, K)).astype(np.float32))
+    y = np.asarray(w4a8_swar_matmul(x, w))[:, :N]
+    ref = np.asarray(x) @ w_exact.T
+    rel = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
+    assert rel < 0.02, rel
+
+
+def test_a8s_dispatch_prefill_fallback(packed_weight):
+    """qmm on a QuantTensorA8S falls back to the exact kernel above the
+    decode-batch cap (prefill path) and stays on SWAR below it."""
+    from blama_tpu.ops.pallas.quant_matmul import (
+        A8S_MAX_BATCH, qmm, repack_q4k_a8s)
+
+    packed, w_exact, N, K = packed_weight
+    w = repack_q4k_a8s(packed, N, K)
+    rng = np.random.default_rng(6)
+    for B in (1, A8S_MAX_BATCH + 1):
+        x = jnp.asarray(rng.standard_normal((B, K)).astype(np.float32))
+        y = np.asarray(qmm(x, w))
+        ref = np.asarray(x) @ w_exact.T
+        rel = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
+        assert rel < 0.02, (B, rel)
