@@ -117,8 +117,10 @@ def main() -> None:
     n_steps = int(os.environ.get("BLAMA_BENCH_STEPS", "64"))
     n_prompt = int(os.environ.get("BLAMA_BENCH_PROMPT", "128"))
     # 8B requires a quantized-weight mode (bf16 would need 16GB for weights
-    # alone); smaller presets run fastest in bf16.
-    default_dtype = "q4k_fused" if preset == "llama3-8b" else "bfloat16"
+    # alone). q4k_a8 (SWAR int8-MXU, llama.cpp Q8_1-activation numerics) is
+    # the fastest mode (102.5 tok/s vs 87.2 exact-dequant, BENCH_LOCAL.md);
+    # smaller presets run fastest in bf16.
+    default_dtype = "q4k_a8" if preset == "llama3-8b" else "bfloat16"
     wdtype = os.environ.get("BLAMA_BENCH_DTYPE", default_dtype)
 
     try:
