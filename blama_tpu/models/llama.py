@@ -79,8 +79,8 @@ def load_llama_params(
     def get_t(name: str):
         if fused_quant and reader.tensors[name].ggml_type == GGMLType.Q4_K:
             from ..ops.pallas.quant_matmul import (
-                repack_q4k_a8s, repack_q4k_for_tpu, repack_q4k_native,
-                repack_q4k_w4a8,
+                repack_q4k_a8k4, repack_q4k_a8s, repack_q4k_for_tpu,
+                repack_q4k_native, repack_q4k_w4a8,
             )
 
             info = reader.tensors[name]
@@ -90,7 +90,8 @@ def load_llama_params(
             # ("k4") measured SLOWER end-to-end (73 vs 87 tok/s at 8B: its
             # in-kernel 6-bit scale decode adds VPU work); it remains the
             # memory-tight option. "a8" = int8-MXU W4A8.
-            repack = {"a8": repack_q4k_a8s,      # SWAR int8-MXU kernel
+            repack = {"a8": repack_q4k_a8s,      # SWAR int8-MXU, 5 b/w
+                      "a8k4": repack_q4k_a8k4,    # SWAR + native layout, 4.5 b/w
                       "a8x": repack_q4k_w4a8,     # pure-XLA W4A8 (9 b/w)
                       "k4": repack_q4k_native}.get(fused_quant, repack_q4k_for_tpu)
             return repack(reader.tensor_bytes(name), n_rows, row_len)

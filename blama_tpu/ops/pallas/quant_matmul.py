@@ -257,6 +257,14 @@ def qmm(x: jnp.ndarray, w) -> jnp.ndarray:
 
     Accepts x of shape [..., K]; returns [..., N] in x.dtype for dense w and
     f32→x.dtype for quantized."""
+    if isinstance(w, QuantTensorA8K4):
+        lead = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1])
+        if flat.shape[0] <= A8S_MAX_BATCH:
+            out = a8k4_matmul(flat, w)[:, : w.n_out]
+        else:  # prefill: the exact native kernel amortizes its decode
+            out = q4k_native_matmul(flat, w)[:, : w.n_out]
+        return out.reshape(*lead, -1).astype(x.dtype)
     if isinstance(w, QuantTensorK4):
         lead = x.shape[:-1]
         flat = x.reshape(-1, x.shape[-1])
@@ -602,6 +610,152 @@ def q4k_native_matmul(x: jnp.ndarray, w: QuantTensorK4, block_n: int = 4096) -> 
         ),
         interpret=jax.default_backend() == "cpu",
     )(xg, xf, w.codes, w.ddm, w.scmn)
+
+
+# ---------------------------------------------------------------------------
+# SWAR + native layout: 4.5 bits/weight AND int8-MXU consumption
+# ---------------------------------------------------------------------------
+#
+# Combines the two winning ideas: the SWAR/plane int8-MXU path (VPU-cheap)
+# with the native superblock scale storage (HBM-cheap). Planes and per-group
+# activation scales are arranged G-MAJOR — (g, t, b) rather than (t, g, b) —
+# so the in-kernel 6-bit scale decode produces each group-j slice [kb, nt]
+# directly against a contiguous slab of the int partial-product matrix,
+# avoiding the sublane-interleaving jnp.stack that made the exact native
+# kernel VPU-expensive.
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantTensorA8K4(QuantTensorK4):
+    """Native-layout arrays; marks dispatch to the SWAR int8-MXU kernel."""
+
+
+def repack_q4k_a8k4(data: np.ndarray, n_rows: int, row_len: int) -> "QuantTensorA8K4":
+    w = repack_q4k_native(data, n_rows, row_len)
+    return QuantTensorA8K4(w.codes, w.ddm, w.scmn, n_out=w.n_out)
+
+
+def _a8k4_planes(xq: jnp.ndarray, kb: int):
+    """xq [B, K] i8 → (planes_lo, planes_hi) [4*kb*B, K/2] i8, g-major rows:
+    row ((g*kb + t)*B + b) holds superblock t's group-(g or g+4) activations."""
+    B, K = xq.shape
+    xr = xq.reshape(B, K // (kb * KT), kb, 2, KT // 2)
+    x_lo = xr[:, :, :, 0].reshape(B, K // 2)
+    x_hi = xr[:, :, :, 1].reshape(B, K // 2)
+    i = jnp.arange(K // 2) % (kb * (KT // 2))
+    t_of_i = i // (KT // 2)
+    g_of_i = (i % (KT // 2)) // GROUP
+
+    def mk(xh):
+        planes = []
+        for g in range(4):
+            for t in range(kb):
+                keep = (g_of_i == g) & (t_of_i == t)
+                planes.append(jnp.where(keep[None, :], xh, jnp.int8(0)))
+        return jnp.concatenate(planes, axis=0)
+
+    return mk(x_lo), mk(x_hi)
+
+
+def _a8k4_kernel(planes_lo_ref, planes_hi_ref, xs_ref, xsum_ref, codes_ref,
+                 ddm_ref, scmn_ref, out_ref):
+    ks = pl.program_id(1)
+    w32 = pltpu.bitcast(codes_ref[:], jnp.int32)
+    lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)      # [kb*KT/2, bn]
+    hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
+    pl_lo = planes_lo_ref[:]
+    pl_hi = planes_hi_ref[:]
+    PB = pl_lo.shape[0]
+    bn = lo.shape[1]
+    kb = lo.shape[0] // (KT // 2)
+    B = PB // (kb * 4)
+    ip_lo = jax.lax.dot_general(pl_lo, lo, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    ip_hi = jax.lax.dot_general(pl_hi, hi, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+
+    dd = ddm_ref[:]                                     # i32 [kb, nt]
+    d = _f16_bits_to_f32(dd & 0xFFFF)
+    dmin = _f16_bits_to_f32((dd >> 16) & 0xFFFF)
+    w012 = scmn_ref[:].reshape(kb, 3, bn)
+    w0, w1, w2 = w012[:, 0], w012[:, 1], w012[:, 2]
+
+    # xs/xsum g-major: [8, kb, B] slabs (groups 0-3 pair with lo, 4-7 with hi)
+    xs = xs_ref[:].reshape(8, kb, B).astype(jnp.float32)
+    xsum = xsum_ref[:].reshape(8, kb, B).astype(jnp.float32)
+
+    acc = jnp.zeros((B, bn), jnp.float32)
+    for j in range(8):
+        if j < 4:
+            sc = (w0 >> (8 * j)) & 63
+            mn = (w1 >> (8 * j)) & 63
+            ip_j = ip_lo.reshape(4, kb, B, bn)[j]       # contiguous slab
+        else:
+            i = j - 4
+            sc = ((w2 >> (8 * i)) & 0xF) | (((w0 >> (8 * i + 6)) & 3) << 4)
+            mn = ((w2 >> (8 * i + 4)) & 0xF) | (((w1 >> (8 * i + 6)) & 3) << 4)
+            ip_j = ip_hi.reshape(4, kb, B, bn)[i]
+        ws_j = d * sc.astype(jnp.float32)               # [kb, nt]
+        wm_j = dmin * mn.astype(jnp.float32)
+        term = ip_j.astype(jnp.float32) * ws_j[:, None, :] * xs[j][:, :, None]
+        term -= wm_j[:, None, :] * (xs[j] * xsum[j])[:, :, None]
+        acc += jnp.sum(term, axis=0)
+
+    @pl.when(ks == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(ks != 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def a8k4_matmul(x: jnp.ndarray, w: "QuantTensorA8K4", block_n: int = 2048,
+                kb: int = 4) -> jnp.ndarray:
+    """x [B, K] @ native-layout packed W → [B, N] f32 (W4A8 numerics)."""
+    B, K = x.shape
+    K2, N = w.codes.shape
+    assert K == K2 * 2
+    bn = min(block_n, N)
+    while N % bn != 0:
+        bn //= 2
+    while K % (kb * KT) != 0:
+        kb //= 2
+    slab = kb * KT
+    P = kb * 4
+    xq, xsT, xsumT = _quant_acts(x)       # xsT/xsumT: [K/32, B] (t,g)-ordered
+    p_lo, p_hi = _a8k4_planes(xq, kb)
+    # rearrange activation scales g-major per slab: [K/32, B] → [8·K/KT?, ...]
+    ns = K // slab
+    xs_g = xsT.reshape(ns, kb, 8, B).transpose(0, 2, 1, 3).reshape(ns * 8 * kb, B)
+    xsum_g = xsumT.reshape(ns, kb, 8, B).transpose(0, 2, 1, 3).reshape(ns * 8 * kb, B)
+    grid = (N // bn, ns)
+    return pl.pallas_call(
+        _a8k4_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P * B, slab // 2), lambda n, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P * B, slab // 2), lambda n, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * kb, B), lambda n, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * kb, B), lambda n, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab // 2, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * kb, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, bn), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * P * B * (K // 2) * N,
+            bytes_accessed=K * N // 2 + (K // KT) * N * 16 + P * B * K + B * N * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(p_lo, p_hi, xs_g, xsum_g, w.codes, w.ddm, w.scmn)
 
 
 # ---------------------------------------------------------------------------

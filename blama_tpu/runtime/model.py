@@ -54,11 +54,12 @@ class Model:
         # q4k_fused = f32-scale layout (6 b/w, VPU-cheapest); q4k_fused_k4 =
         # native 4.5 b/w layout (lowest memory); q4k_a8 = int8-MXU W4A8
         fused = {"q4k_fused": True, "q4k_fused_k4": "k4",
-                 "q4k_a8": "a8", "q4k_a8_xla": "a8x"}.get(self.params.dtype, False)
+                 "q4k_a8": "a8", "q4k_a8_k4": "a8k4",
+                 "q4k_a8_xla": "a8x"}.get(self.params.dtype, False)
         dtype = (jnp.bfloat16
                  if self.params.dtype in ("bfloat16", "q4k_fused",
                                           "q4k_fused_k4", "q4k_a8",
-                                          "q4k_a8_xla")
+                                          "q4k_a8_k4", "q4k_a8_xla")
                  else jnp.float32)
         arch = self.config.arch
         if progress_cb:

@@ -241,3 +241,46 @@ def test_a8s_dispatch_prefill_fallback(packed_weight):
         ref = np.asarray(x) @ w_exact.T
         rel = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
         assert rel < 0.02, (B, rel)
+
+
+def test_a8k4_kernel_accuracy(packed_weight):
+    """SWAR + native-layout kernel (4.5 b/w): W4A8 numerics vs exact."""
+    from blama_tpu.ops.pallas.quant_matmul import a8k4_matmul, repack_q4k_a8k4
+
+    packed, w_exact, N, K = packed_weight
+    w = repack_q4k_a8k4(packed, N, K)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, K)).astype(np.float32))
+    y = np.asarray(a8k4_matmul(x, w))[:, :N]
+    ref = np.asarray(x) @ w_exact.T
+    rel = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
+    assert rel < 0.02, rel
+
+
+def test_a8k4_session_self_consistent(tmp_path):
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.runtime.verify import LogitComparer, MetricsAggregator
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "t.gguf")
+    write_tiny_llama(p, GGMLType.Q4_K)
+    m = Model(p, ModelParams(dtype="q4k_a8_k4"))
+    inst = Instance(m, InstanceInitParams(ctx_size=64))
+    s = inst.start_session(SessionInitParams(seed=3, temperature=0.0))
+    s.set_initial_prompt(m.vocab.tokenize("hello", True, True))
+    preds = list(s.complete(CompleteParams(max_tokens=5)))
+    inst.stop_session()
+
+    s2 = inst.start_session(SessionInitParams(seed=3, temperature=0.0))
+    s2.set_initial_prompt(m.vocab.tokenize("hello", True, True))
+    rep = s2.fill_ctx(preds)
+    agg = MetricsAggregator()
+    score = 0.0
+    for a, b in zip(preds, rep):
+        score = agg.push_and_verify(LogitComparer.compare(a.logits, b.logits))
+    assert score == 1.0  # same-engine replay bit-exact
+    inst.stop_session()
+    m.close()
