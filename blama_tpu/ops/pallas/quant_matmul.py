@@ -213,7 +213,7 @@ def qmm_blocked(x: jnp.ndarray, w, nb: int) -> jnp.ndarray:
     ModelConfig.tp_blocks (a power of two); nb=0 falls back to the plain
     contraction.
     """
-    if (not nb or isinstance(w, (QuantTensor, QuantTensorA8))
+    if (not nb or isinstance(w, (QuantTensor, QuantTensorA8, LoraWrapped))
             or x.shape[-1] % nb or nb & (nb - 1)):
         return qmm(x, w)
     lead, K = x.shape[:-1], x.shape[-1]
@@ -237,7 +237,7 @@ def qmm_nblocked(x: jnp.ndarray, w, nb: int, out_dtype=None) -> jnp.ndarray:
     Batching the columns into `nb` fixed-width blocks makes every engine
     compute identical [M, K] x [K, N/nb] leaves regardless of tp; the
     concatenation is pure data movement."""
-    if (not nb or isinstance(w, (QuantTensor, QuantTensorA8))
+    if (not nb or isinstance(w, (QuantTensor, QuantTensorA8, LoraWrapped))
             or w.shape[-1] % nb):
         return qmm(x, w)
     lead, K = x.shape[:-1], x.shape[-1]
@@ -252,11 +252,47 @@ def qmm_nblocked(x: jnp.ndarray, w, nb: int, out_dtype=None) -> jnp.ndarray:
     return out.astype(out_dtype or x.dtype)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class LoraWrapped:
+    """Weight + runtime low-rank LoRA deltas: y = qmm(x, base) + (x·a)·b.
+
+    llama.cpp applies adapters at matmul time on quantized models rather
+    than folding into the packed codes (SURVEY.md §2.2 "LoRA adapter
+    runtime"); this is the TPU analog. Multiple adapters stack along the
+    rank axis; `tags` records (tag, rank) segments so a specific adapter
+    can be removed bit-exactly (the base tensor is never touched)."""
+
+    base: object          # QuantTensor* or dense jnp array, (n_in, n_out)
+    a: jnp.ndarray        # f32 [K, R_total]
+    b: jnp.ndarray        # f32 [R_total, N] (effective scale folded in)
+    tags: tuple = ()      # ((tag, rank), ...) in stacking order
+
+    def tree_flatten(self):
+        return (self.base, self.a, self.b), self.tags
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, tags=aux)
+
+    @property
+    def shape(self):
+        return self.base.shape
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+
 def qmm(x: jnp.ndarray, w) -> jnp.ndarray:
     """Matmul dispatch: dense jnp array or packed QuantTensor.
 
     Accepts x of shape [..., K]; returns [..., N] in x.dtype for dense w and
     f32→x.dtype for quantized."""
+    if isinstance(w, LoraWrapped):
+        out = qmm(x, w.base)
+        lora = (x.astype(jnp.float32) @ w.a) @ w.b       # [..., N]
+        return (out.astype(jnp.float32) + lora).astype(out.dtype)
     if isinstance(w, QuantTensorA8K4):
         lead = x.shape[:-1]
         flat = x.reshape(-1, x.shape[-1])
@@ -713,7 +749,7 @@ def _a8k4_kernel(planes_lo_ref, planes_hi_ref, xs_ref, xsum_ref, codes_ref,
 
 @partial(jax.jit, static_argnums=(2, 3))
 def a8k4_matmul(x: jnp.ndarray, w: "QuantTensorA8K4", block_n: int = 2048,
-                kb: int = 4) -> jnp.ndarray:
+                kb: int = 8) -> jnp.ndarray:
     """x [B, K] @ native-layout packed W → [B, N] f32 (W4A8 numerics)."""
     B, K = x.shape
     K2, N = w.codes.shape
@@ -721,8 +757,15 @@ def a8k4_matmul(x: jnp.ndarray, w: "QuantTensorA8K4", block_n: int = 2048,
     bn = min(block_n, N)
     while N % bn != 0:
         bn //= 2
-    while K % (kb * KT) != 0:
+    # TPU tiling: the ddm BlockSpec's sublane dim is kb, which must be a
+    # multiple of 8 or cover the whole [K/KT, N] array (Mosaic constraint;
+    # interpret-mode tests don't enforce it).
+    nsb = K // KT
+    kb = min(kb, nsb)
+    while kb > 1 and nsb % kb != 0:
         kb //= 2
+    if kb % 8 != 0 and kb != nsb:
+        kb = nsb
     slab = kb * KT
     P = kb * 4
     xq, xsT, xsumT = _quant_acts(x)       # xsT/xsumT: [K/32, B] (t,g)-ordered

@@ -5,10 +5,16 @@ LoraAdapter.{hpp,cpp}) + the Instance attach path (Instance.cpp:52-61):
 load a LoRA GGUF (tensors `<base>.lora_a` / `<base>.lora_b`, metadata
 `adapter.lora.alpha`), apply per-instance with a scale, clear to remove.
 
-TPU-native application: the scaled low-rank delta (scale · α/r · B·A) is
-folded into the base weights at attach time — one host-side update + upload
-instead of an extra matmul every step. Detach restores by subtracting the
-same delta (bit-exact, since the fold is float32 on host).
+TPU-native application, two modes matching llama.cpp's behavior:
+* dense weights: the scaled low-rank delta (scale · α/r · B·A) is folded
+  into the base weights at attach time — one host-side update + upload
+  instead of an extra matmul every step. Detach restores by subtracting the
+  same delta (bit-exact, since the fold is float32 on host).
+* quantized weights (packed QuantTensor*): folding into 4-bit codes would
+  lose the delta, so the adapter is applied at matmul time as a runtime
+  low-rank term y += (x·aᵀ)·(scale·bᵀ) via LoraWrapped — the analog of
+  llama.cpp's build_lora_mm on quantized tensors. Detach strips the wrapper,
+  restoring the untouched base bit-exactly.
 """
 
 from __future__ import annotations
@@ -91,14 +97,73 @@ def lora_deltas(adapter: LoraAdapter, n_layer: int, user_scale: float) -> dict:
     return out
 
 
+def _wrap_runtime(w, aT, bT, tag):
+    """Stack a (aT [K,r], bT [r,N]) segment onto w as a LoraWrapped."""
+    import jax.numpy as jnp
+
+    from ..ops.pallas.quant_matmul import LoraWrapped
+
+    r = aT.shape[1]
+    if isinstance(w, LoraWrapped):
+        return LoraWrapped(
+            w.base, jnp.concatenate([w.a, aT], axis=1),
+            jnp.concatenate([w.b, bT], axis=0), w.tags + ((tag, r),))
+    return LoraWrapped(w, aT, bT, ((tag, r),))
+
+
+def _unwrap_runtime(w, tag):
+    """Remove the rank segment tagged `tag`; returns the bare base when no
+    segments remain (bit-exact: the base tensor was never modified)."""
+    import jax.numpy as jnp
+
+    from ..ops.pallas.quant_matmul import LoraWrapped
+
+    if not isinstance(w, LoraWrapped):
+        return w
+    off = 0
+    for i, (t, r) in enumerate(w.tags):
+        if t == tag:
+            segs = w.tags[:i] + w.tags[i + 1:]
+            if not segs:
+                return w.base
+            a = jnp.concatenate([w.a[:, :off], w.a[:, off + r:]], axis=1)
+            b = jnp.concatenate([w.b[:off], w.b[off + r:]], axis=0)
+            return LoraWrapped(w.base, a, b, segs)
+        off += r
+    return w
+
+
+def _apply_lora_runtime(weights: dict, adapter: LoraAdapter,
+                        user_scale: float, sign: float) -> dict:
+    """Quantized-mode attach/detach: wrap targets with runtime deltas."""
+    import jax.numpy as jnp
+
+    tag = (id(adapter), float(user_scale))
+    scale = adapter.effective_scale(user_scale)
+    layers = [dict(p) for p in weights["layers"]]
+    for base, t in adapter.tensors.items():
+        if not base.startswith("blk."):
+            continue
+        parts = base.split(".", 2)
+        layer = int(parts[1])
+        key = _LAYER_KEYS.get(parts[2])
+        if key is None or layer >= len(layers):
+            continue
+        if sign > 0:
+            aT = jnp.asarray(t.a.astype(np.float32).T)            # [K, r]
+            bT = jnp.asarray(t.b.astype(np.float32).T * scale)    # [r, N]
+            layers[layer][key] = _wrap_runtime(layers[layer][key], aT, bT, tag)
+        else:
+            layers[layer][key] = _unwrap_runtime(layers[layer][key], tag)
+    return {**weights, "layers": layers}
+
+
 def apply_lora(weights: dict, adapter: LoraAdapter, user_scale: float, sign: float = 1.0) -> dict:
     """Fold (sign=+1) or unfold (sign=-1) the adapter into a params pytree."""
     import jax.numpy as jnp
 
     if isinstance(weights["layers"], (list, tuple)):
-        raise NotImplementedError(
-            "LoRA folding requires a dense weight mode (float32/bfloat16); "
-            "quantized modes keep weights packed per layer")
+        return _apply_lora_runtime(weights, adapter, user_scale, sign)
     deltas = lora_deltas(adapter, weights["layers"]["wq"].shape[0], user_scale)
     layers = dict(weights["layers"])
     for key, per_layer in deltas.items():

@@ -75,6 +75,55 @@ def test_lora_changes_and_restores_generation(model, tmp_path):
     assert restored == base  # exact restore after unfold
 
 
+def test_lora_on_quantized_weights(tmp_path):
+    """Quantized modes apply LoRA at matmul time (LoraWrapped) rather than
+    folding into packed codes; detach restores the base bit-exactly."""
+    mp = str(tmp_path / "q.gguf")
+    write_tiny_llama(mp, GGMLType.Q4_K)
+    from blama_tpu.runtime.model import ModelParams
+    m = Model(mp, ModelParams(dtype="q4k_fused"))
+    lp = str(tmp_path / "lora.gguf")
+    write_tiny_lora(lp, seed=11)
+    inst = Instance(m, InstanceInitParams(ctx_size=64))
+    base = _greedy_tokens(inst, m)
+
+    ad = LoraAdapter(lp)
+    inst.add_lora(ad, scale=5.0)
+    from blama_tpu.ops.pallas.quant_matmul import LoraWrapped
+    assert isinstance(m.weights["layers"][0]["wq"], LoraWrapped)
+    with_lora = _greedy_tokens(inst, m)
+    assert with_lora != base
+
+    inst.clear_lora_state()
+    assert not isinstance(m.weights["layers"][0]["wq"], LoraWrapped)
+    restored = _greedy_tokens(inst, m)
+    assert restored == base
+    m.close()
+
+
+def test_lora_stacked_adapters_quantized(tmp_path):
+    """Two adapters stack along the rank axis; removing both restores."""
+    mp = str(tmp_path / "q.gguf")
+    write_tiny_llama(mp, GGMLType.Q4_K)
+    from blama_tpu.runtime.model import ModelParams
+    m = Model(mp, ModelParams(dtype="q4k_fused"))
+    l1, l2 = str(tmp_path / "l1.gguf"), str(tmp_path / "l2.gguf")
+    write_tiny_lora(l1, seed=21)
+    write_tiny_lora(l2, seed=22, r=2)
+    inst = Instance(m, InstanceInitParams(ctx_size=64))
+    base = _greedy_tokens(inst, m)
+    inst.add_lora(LoraAdapter(l1), scale=4.0)
+    one = _greedy_tokens(inst, m)
+    inst.add_lora(LoraAdapter(l2), scale=4.0)
+    w = m.weights["layers"][0]["wq"]
+    assert w.a.shape[1] == 6 and len(w.tags) == 2  # r=4 + r=2 stacked
+    both = _greedy_tokens(inst, m)
+    assert base != one and one != both
+    inst.clear_lora_state()
+    assert _greedy_tokens(inst, m) == base
+    m.close()
+
+
 def test_control_vector_parse_and_sum(tmp_path):
     p1 = str(tmp_path / "cv1.gguf")
     p2 = str(tmp_path / "cv2.gguf")
