@@ -25,7 +25,8 @@ from ..ops.attention import attention
 from ..ops.kv_cache import KVCache, dequantize_kv, quantize_kv
 from ..ops.norms import rms_norm
 from ..ops.pallas.quant_matmul import (
-    QuantTensor, QuantTensorA8, QuantTensorK4, qmm, qmm_blocked, qmm_nblocked,
+    LoraWrapped, QuantTensor, QuantTensorA8, QuantTensorK4, ShardedQuant,
+    qmm, qmm_blocked, qmm_nblocked,
 )
 from ..ops.rope import apply_rope, rope_angles
 from .config import ModelConfig
@@ -375,7 +376,8 @@ def forward(
     if return_hidden:
         return last_h, new_cache
     tpb_head = getattr(cfg, "tp_blocks", 0)
-    if isinstance(params["output"], (QuantTensor, QuantTensorA8, QuantTensorK4)):
+    if isinstance(params["output"], (QuantTensor, QuantTensorA8, QuantTensorK4,
+                                     ShardedQuant, LoraWrapped)):
         logits = qmm(last_h.astype(jnp.float32), params["output"])
     elif tpb_head:
         # vocab-sharded head: fixed-width column blocks for cross-sharding

@@ -213,7 +213,7 @@ def qmm_blocked(x: jnp.ndarray, w, nb: int) -> jnp.ndarray:
     ModelConfig.tp_blocks (a power of two); nb=0 falls back to the plain
     contraction.
     """
-    if (not nb or isinstance(w, (QuantTensor, QuantTensorA8, LoraWrapped))
+    if (not nb or isinstance(w, (QuantTensor, QuantTensorA8, LoraWrapped, ShardedQuant))
             or x.shape[-1] % nb or nb & (nb - 1)):
         return qmm(x, w)
     lead, K = x.shape[:-1], x.shape[-1]
@@ -237,7 +237,7 @@ def qmm_nblocked(x: jnp.ndarray, w, nb: int, out_dtype=None) -> jnp.ndarray:
     Batching the columns into `nb` fixed-width blocks makes every engine
     compute identical [M, K] x [K, N/nb] leaves regardless of tp; the
     concatenation is pure data movement."""
-    if (not nb or isinstance(w, (QuantTensor, QuantTensorA8, LoraWrapped))
+    if (not nb or isinstance(w, (QuantTensor, QuantTensorA8, LoraWrapped, ShardedQuant))
             or w.shape[-1] % nb):
         return qmm(x, w)
     lead, K = x.shape[:-1], x.shape[-1]
@@ -284,6 +284,94 @@ class LoraWrapped:
         return self.base.dtype
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ShardedQuant:
+    """Mesh-sharded packed weight: manual tensor parallelism for the Pallas
+    kernels (GSPMD cannot partition an opaque pallas_call, so qmm wraps the
+    kernel in a shard_map island; SURVEY.md §2.3 "TP sharding").
+
+    axis "n": output dim sharded — each device computes its column slice,
+              output carries a P(..., tp) sharding into the next op.
+    axis "k": contraction dim sharded at superblock granularity — each
+              device computes a partial product over its K slice, combined
+              with one psum over the tp axis (rides ICI)."""
+
+    base: object          # QuantTensor / QuantTensorA8S / QuantTensorK4 / ...
+    mesh: object = None   # jax Mesh (hashable; aux)
+    axis: str = "n"       # "n" | "k"
+    tp: str = "tp"        # mesh axis name
+
+    def tree_flatten(self):
+        return (self.base,), (self.mesh, self.axis, self.tp)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    @property
+    def shape(self):
+        return self.base.shape
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    @property
+    def n_out(self):
+        return self.base.n_out
+
+
+def _qmm_sharded(x: jnp.ndarray, w: ShardedQuant) -> jnp.ndarray:
+    """shard_map island around the packed-weight kernel."""
+    from jax.sharding import PartitionSpec as P
+
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, x.shape[-1])
+    leaves, treedef = jax.tree_util.tree_flatten(w.base)
+    tp = w.tp
+
+    if w.axis == "n":
+        x_spec = P(None, None)
+        w_specs = [P(None, tp) for _ in leaves]            # all [*, N_pad]
+        out_spec = P(None, tp)
+
+        def f(xl, *wl):
+            return _quant_kernel_call(xl, treedef.unflatten(wl))
+    else:  # "k": x sharded on K, partials psummed
+        x_spec = P(None, tp)
+        w_specs = [P(tp, None) for _ in leaves]            # all [K/«», N_pad]
+        out_spec = P(None, None)
+
+        def f(xl, *wl):
+            part = _quant_kernel_call(xl, treedef.unflatten(wl))
+            return jax.lax.psum(part, tp)
+
+    out = jax.shard_map(
+        f, mesh=w.mesh, in_specs=(x_spec, *w_specs), out_specs=out_spec,
+        check_vma=False,
+    )(flat, *leaves)
+    return out[:, : w.n_out].reshape(*lead, -1).astype(x.dtype)
+
+
+def _quant_kernel_call(flat: jnp.ndarray, w) -> jnp.ndarray:
+    """Raw kernel dispatch on a [M, K] batch — no n_out slice (the caller
+    slices globally; a sharded weight's padding lives in the last shard)."""
+    if isinstance(w, QuantTensorA8K4):
+        if flat.shape[0] <= A8S_MAX_BATCH:
+            return a8k4_matmul(flat, w)
+        return q4k_native_matmul(flat, w)
+    if isinstance(w, QuantTensorK4):
+        return q4k_native_matmul(flat, w)
+    if isinstance(w, QuantTensorA8S):
+        if flat.shape[0] <= A8S_MAX_BATCH:
+            return w4a8_swar_matmul(flat, w)
+        return q4k_matmul(flat, w)
+    if isinstance(w, QuantTensorA8):
+        return w4a8_matmul(flat, w)
+    return q4k_matmul(flat, w)
+
+
 def qmm(x: jnp.ndarray, w) -> jnp.ndarray:
     """Matmul dispatch: dense jnp array or packed QuantTensor.
 
@@ -293,36 +381,12 @@ def qmm(x: jnp.ndarray, w) -> jnp.ndarray:
         out = qmm(x, w.base)
         lora = (x.astype(jnp.float32) @ w.a) @ w.b       # [..., N]
         return (out.astype(jnp.float32) + lora).astype(out.dtype)
-    if isinstance(w, QuantTensorA8K4):
+    if isinstance(w, ShardedQuant):
+        return _qmm_sharded(x, w)
+    if isinstance(w, (QuantTensor, QuantTensorA8, QuantTensorK4)):
         lead = x.shape[:-1]
         flat = x.reshape(-1, x.shape[-1])
-        if flat.shape[0] <= A8S_MAX_BATCH:
-            out = a8k4_matmul(flat, w)[:, : w.n_out]
-        else:  # prefill: the exact native kernel amortizes its decode
-            out = q4k_native_matmul(flat, w)[:, : w.n_out]
-        return out.reshape(*lead, -1).astype(x.dtype)
-    if isinstance(w, QuantTensorK4):
-        lead = x.shape[:-1]
-        flat = x.reshape(-1, x.shape[-1])
-        out = q4k_native_matmul(flat, w)[:, : w.n_out]
-        return out.reshape(*lead, -1).astype(x.dtype)
-    if isinstance(w, QuantTensorA8S):
-        lead = x.shape[:-1]
-        flat = x.reshape(-1, x.shape[-1])
-        if flat.shape[0] <= A8S_MAX_BATCH:
-            out = w4a8_swar_matmul(flat, w)[:, : w.n_out]
-        else:  # prefill: exact kernel amortizes its unpack over the batch
-            out = q4k_matmul(flat, w)[:, : w.n_out]
-        return out.reshape(*lead, -1).astype(x.dtype)
-    if isinstance(w, QuantTensor):
-        lead = x.shape[:-1]
-        flat = x.reshape(-1, x.shape[-1])
-        out = q4k_matmul(flat, w)[:, : w.n_out]
-        return out.reshape(*lead, -1).astype(x.dtype)
-    if isinstance(w, QuantTensorA8):
-        lead = x.shape[:-1]
-        flat = x.reshape(-1, x.shape[-1])
-        out = w4a8_matmul(flat, w)[:, : w.n_out]
+        out = _quant_kernel_call(flat, w)[:, : w.n_out]
         return out.reshape(*lead, -1).astype(x.dtype)
     return x @ w
 

@@ -61,6 +61,67 @@ def step_io_specs() -> dict:
     }
 
 
+# role → shard axis for packed (QuantTensor-family) weights; "n" = output
+# dim (local column slice), "k" = contraction dim (partial product + psum)
+_QUANT_ROLE_AXIS = {
+    "wq": "n", "wk": "n", "wv": "n", "w_gate": "n", "w_up": "n",
+    "wo": "k", "w_down": "k",
+}
+
+
+def shard_quant_llama(w: dict, mesh: Mesh, tp: str = "tp") -> dict:
+    """Shard a quantized (list-layout) llama param tree over the tp axis.
+
+    Packed weights become ShardedQuant wrappers (manual shard_map TP around
+    the Pallas kernels — GSPMD cannot partition opaque custom calls); dense
+    2-D tensors in the same tree get the matching GSPMD NamedSharding; 1-D
+    tensors replicate. K-sharding requires superblock alignment
+    (K % (tp·256) == 0); misaligned tensors stay replicated."""
+    import jax.numpy as jnp
+
+    from ..ops.pallas.quant_matmul import (
+        QuantTensor, QuantTensorA8, QuantTensorK4, ShardedQuant,
+    )
+
+    tp_size = mesh.shape[tp]
+    QT = (QuantTensor, QuantTensorA8, QuantTensorK4)
+
+    def put(a, spec):
+        return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+
+    def rep(a):
+        return put(a, P(*([None] * jnp.asarray(a).ndim)))
+
+    def place(w_t, axis):
+        if isinstance(w_t, QT):
+            n_pad = jax.tree_util.tree_leaves(w_t)[0].shape[1]
+            if axis == "k" and w_t.shape[0] % (tp_size * 256):
+                axis = None
+            if axis == "n" and n_pad % tp_size:
+                axis = None
+            if axis is None:
+                return jax.tree_util.tree_map(rep, w_t)
+            spec = P(None, tp) if axis == "n" else P(tp, None)
+            sharded = jax.tree_util.tree_map(lambda a: put(a, spec), w_t)
+            return ShardedQuant(sharded, mesh, axis, tp)
+        a = jnp.asarray(w_t)
+        if a.ndim == 2 and axis == "n" and a.shape[1] % tp_size == 0:
+            return put(a, P(None, tp))
+        if a.ndim == 2 and axis == "k" and a.shape[0] % tp_size == 0:
+            return put(a, P(tp, None))
+        return rep(a)
+
+    layers = []
+    for p in w["layers"]:
+        layers.append({k: place(v, _QUANT_ROLE_AXIS.get(k)) for k, v in p.items()})
+    out = {"layers": layers}
+    for k, v in w.items():
+        if k == "layers":
+            continue
+        out[k] = place(v, "n" if k == "output" else None)
+    return out
+
+
 def shard_params(params, mesh: Mesh, specs: dict):
     """device_put a param pytree with matching spec pytree."""
 

@@ -103,9 +103,9 @@ class Model:
 
         mesh = self.params.mesh
         if isinstance(w.get("layers"), (list, tuple)):
-            raise NotImplementedError(
-                "mesh-sharded serving currently requires a dense weight mode "
-                "(float32/bfloat16); quantized weights are single-chip")
+            # quantized (list-layout) tree: manual shard_map TP around the
+            # Pallas kernels (GSPMD can't partition opaque custom calls)
+            return sh.shard_quant_llama(w, mesh)
         if self.config.is_moe:
             from ..models.moe import moe_param_specs
 

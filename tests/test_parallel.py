@@ -129,3 +129,37 @@ def test_sharded_session_matches_unsharded(model):
     single = run(None)
     sharded = run(make_mesh(1, 4))
     assert single == sharded
+
+
+@pytest.mark.parametrize("dtype", ["q4k_fused", "q4k_a8"])
+def test_sharded_quantized_session_matches_solo(dtype, tmp_path):
+    """Mesh-sharded QUANTIZED serving (ShardedQuant shard_map islands around
+    the Pallas kernels): tp=2 greedy generation matches single-device.
+    K-sharded projections (wo/w_down) need K % (tp*256) == 0, hence the
+    512-wide spec."""
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "shq.gguf")
+    write_tiny_llama(p, GGMLType.Q4_K,
+                     spec=dict(n_embd=512, n_ff=1024, n_head=4, n_head_kv=2))
+
+    def run(mesh):
+        m = Model(p, ModelParams(dtype=dtype, mesh=mesh, tp_blocks=0))
+        if mesh is not None:
+            from blama_tpu.ops.pallas.quant_matmul import ShardedQuant
+            l0 = m.weights["layers"][0]
+            assert isinstance(l0["wq"], ShardedQuant) and l0["wq"].axis == "n"
+            assert isinstance(l0["wo"], ShardedQuant) and l0["wo"].axis == "k"
+        inst = Instance(m, InstanceInitParams(ctx_size=64))
+        s = inst.start_session(SessionInitParams(seed=1, temperature=0.0))
+        s.set_initial_prompt(m.vocab.tokenize("hello world", True, True))
+        out = [pr.token for pr in s.complete(CompleteParams(max_tokens=6))]
+        inst.stop_session()
+        m.close()
+        return out
+
+    assert run(None) == run(make_mesh(1, 2))
