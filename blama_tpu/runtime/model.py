@@ -35,6 +35,10 @@ class ModelParams:
     # -1 = auto: 8 when a mesh is given, else 0 (plain contraction). A solo
     # verifier replaying a tp-sharded prover must set the prover's value.
     tp_blocks: int = -1
+    # MoE mixture: ragged grouped matmuls (reads only routed experts — the
+    # single-chip decode win) vs dense masked mixture (expert-sharding
+    # friendly). None = auto: ragged when unsharded, dense on a mesh.
+    moe_ragged: bool | None = None
 
 
 class Model:
@@ -45,6 +49,8 @@ class Model:
         self.config = ModelConfig.from_gguf(self.reader)
         tpb = self.params.tp_blocks
         self.config.tp_blocks = (8 if self.params.mesh is not None else 0) if tpb < 0 else tpb
+        mr = self.params.moe_ragged
+        self.config.moe_ragged = (self.params.mesh is None) if mr is None else mr
         self.vocab = Vocab.from_gguf(self.reader)
         self.weights = None
         if not self.params.vocab_only:

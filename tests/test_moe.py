@@ -81,3 +81,34 @@ def test_moe_expert_sharded(model):
     l1 = run(make_mesh(1, 1))
     l4 = run(make_mesh(1, 4))
     np.testing.assert_allclose(l1, l4, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_ragged_matches_dense_mixture(tmp_path):
+    """The ragged grouped-matmul mixture (lax.ragged_dot over expert-sorted
+    token copies) routes identically to the dense masked mixture: same
+    greedy tokens, logits within bf16 tolerance."""
+    from blama_tpu.runtime.model import ModelParams
+
+    p = str(tmp_path / "moe.gguf")
+    write_tiny_moe(p)
+
+    def run(ragged):
+        m = Model(p, ModelParams(moe_ragged=ragged))
+        assert m.config.moe_ragged is ragged
+        inst = Instance(m, InstanceInitParams(ctx_size=64))
+        s = inst.start_session(SessionInitParams(seed=9, temperature=0.0))
+        s.set_initial_prompt(m.vocab.tokenize("hello world", True, True))
+        preds = s.complete(CompleteParams(max_tokens=6))
+        inst.stop_session()
+        m.close()
+        return preds
+
+    dense = run(False)
+    ragged = run(True)
+    assert [p.token for p in dense] == [p.token for p in ragged]
+    for a, b in zip(dense, ragged):
+        la = {td.token: td.logit for td in a.logits}
+        lb = {td.token: td.logit for td in b.logits}
+        assert set(la) == set(lb)
+        for t in la:
+            assert abs(la[t] - lb[t]) < 0.05
