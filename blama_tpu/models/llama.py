@@ -25,8 +25,8 @@ from ..ops.attention import attention
 from ..ops.kv_cache import KVCache, dequantize_kv, quantize_kv
 from ..ops.norms import rms_norm
 from ..ops.pallas.quant_matmul import (
-    LoraWrapped, QuantTensor, QuantTensorA8, QuantTensorK4, ShardedQuant,
-    qmm, qmm_blocked, qmm_nblocked,
+    LoraWrapped, QuantEmbedding, QuantTensor, QuantTensorA8, QuantTensorK4,
+    ShardedQuant, emb_lookup, qmm, qmm_blocked, qmm_nblocked,
 )
 from ..ops.rope import apply_rope, rope_angles
 from .config import ModelConfig
@@ -158,8 +158,19 @@ def load_llama_params(
         layer_list = [
             {k: layers[k][i] for k in layers} for i in range(cfg.n_layer)
         ]
+        # keep the embedding table packed too (dequant-on-gather): pure HBM
+        # capacity win — the gather reads only B·T rows per step
+        emb_info = reader.tensors["token_embd.weight"]
+        if emb_info.ggml_type == GGMLType.Q4_K:
+            from ..ops.pallas.quant_matmul import repack_q4k_embedding
+
+            tok_emb = repack_q4k_embedding(
+                reader.tensor_bytes("token_embd.weight"),
+                emb_info.ne[1], emb_info.ne[0])
+        else:
+            tok_emb = get_v("token_embd.weight")
         params = {
-            "tok_emb": get_v("token_embd.weight"),  # (V, E)
+            "tok_emb": tok_emb,  # (V, E)
             "out_norm": get_v("output_norm.weight"),
             "layers": layer_list,
         }
@@ -171,6 +182,10 @@ def load_llama_params(
         }
     if "output.weight" in reader.tensors:
         params["output"] = get_t("output.weight")  # (E, V)
+    elif isinstance(params["tok_emb"], QuantEmbedding):
+        # tied embeddings, packed table: the lm head reads the same GGUF
+        # bytes through the fused-matmul repack ((n_in=E, n_out=V) semantics)
+        params["output"] = get_t("token_embd.weight")
     else:  # tied embeddings
         params["output"] = params["tok_emb"].T.copy()
     if "rope_freqs.weight" in reader.tensors:
@@ -187,11 +202,13 @@ def load_llama_params(
         if v_pad != v:
             params["output"] = np.pad(params["output"], ((0, 0), (0, v_pad - v)))
 
+    _packed = (QuantTensor, QuantTensorA8, QuantTensorK4, QuantEmbedding)
+
     def conv(a):
-        return a if isinstance(a, (QuantTensor, QuantTensorA8, QuantTensorK4)) else jnp.asarray(a, dtype)
+        return a if isinstance(a, _packed) else jnp.asarray(a, dtype)
 
     return jax.tree_util.tree_map(
-        conv, params, is_leaf=lambda x: isinstance(x, (QuantTensor, QuantTensorA8, QuantTensorK4))
+        conv, params, is_leaf=lambda x: isinstance(x, _packed)
     )
 
 
@@ -262,7 +279,7 @@ def forward(
     rope_dim, freq_base = cfg.rope_dim, cfg.freq_base
     interleaved = True  # ggml NORM rope for llama family
 
-    x = params["tok_emb"][tokens]  # [B, T, E]
+    x = emb_lookup(params["tok_emb"], tokens)  # [B, T, E]
     if cfg.emb_scale != 1.0:
         x = x * jnp.asarray(cfg.emb_scale, x.dtype)  # gemma input scaling
     new_positions = jax.vmap(

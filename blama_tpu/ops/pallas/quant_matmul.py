@@ -286,6 +286,62 @@ class LoraWrapped:
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
+class QuantEmbedding:
+    """Row-gatherable packed Q4_K embedding table (dequant-on-gather).
+
+    The embedding matmul never happens — rows are gathered per token — so
+    the only cost of keeping the table packed is a tiny per-row unpack,
+    while HBM *capacity* drops from 16 to 6 bits/weight (≈0.7 GB saved at
+    8B/128k-vocab; NEXT.md item: the margin funds longer contexts on a
+    16 GB chip). Codes pack global halves (j, j+E/2) per byte so the
+    unpack is one concat; f32 effective scales keep dequantized values
+    bitwise identical to the host dequant path."""
+
+    codes: jnp.ndarray    # uint8 [V, E/2]: code[j] | code[j+E/2] << 4
+    scales: jnp.ndarray   # f32   [V, E/32] effective d·sc
+    mins: jnp.ndarray     # f32   [V, E/32] effective dmin·mn
+
+    def tree_flatten(self):
+        return (self.codes, self.scales, self.mins), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return (self.codes.shape[0], self.codes.shape[1] * 2)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16
+
+
+def repack_q4k_embedding(data: np.ndarray, n_rows: int, row_len: int) -> QuantEmbedding:
+    """GGUF Q4_K token_embd bytes → row-major QuantEmbedding."""
+    codes, scales, mins = unpack_q4k_arrays(data, n_rows, row_len)  # [V,E] u8
+    half = row_len // 2
+    packed = codes[:, :half] | (codes[:, half:] << 4)
+    return QuantEmbedding(jnp.asarray(packed), jnp.asarray(scales),
+                          jnp.asarray(mins))
+
+
+def emb_lookup(emb, tokens: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Embedding row gather; dequantizes on the fly for QuantEmbedding."""
+    if not isinstance(emb, QuantEmbedding):
+        return emb[tokens]
+    ci = emb.codes[tokens].astype(jnp.int32)            # [..., E/2]
+    q = jnp.concatenate([ci & 0xF, (ci >> 4) & 0xF], axis=-1).astype(jnp.float32)
+    s = emb.scales[tokens]                              # [..., E/32]
+    m = emb.mins[tokens]
+    lead = q.shape[:-1]
+    qg = q.reshape(*lead, -1, GROUP)
+    vals = qg * s[..., None] - m[..., None]
+    return vals.reshape(*lead, -1).astype(dtype)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
 class ShardedQuant:
     """Mesh-sharded packed weight: manual tensor parallelism for the Pallas
     kernels (GSPMD cannot partition an opaque pallas_call, so qmm wraps the

@@ -80,7 +80,8 @@ def shard_quant_llama(w: dict, mesh: Mesh, tp: str = "tp") -> dict:
     import jax.numpy as jnp
 
     from ..ops.pallas.quant_matmul import (
-        QuantTensor, QuantTensorA8, QuantTensorK4, ShardedQuant,
+        QuantEmbedding, QuantTensor, QuantTensorA8, QuantTensorK4,
+        ShardedQuant,
     )
 
     tp_size = mesh.shape[tp]
@@ -93,6 +94,8 @@ def shard_quant_llama(w: dict, mesh: Mesh, tp: str = "tp") -> dict:
         return put(a, P(*([None] * jnp.asarray(a).ndim)))
 
     def place(w_t, axis):
+        if isinstance(w_t, QuantEmbedding):
+            return jax.tree_util.tree_map(rep, w_t)  # replicated row gather
         if isinstance(w_t, QT):
             n_pad = jax.tree_util.tree_leaves(w_t)[0].shape[1]
             if axis == "k" and w_t.shape[0] % (tp_size * 256):

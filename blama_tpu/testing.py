@@ -115,7 +115,8 @@ def write_tiny_llama(
     # norms stay f32 (as real GGUF files do)
     g.add_tensor("token_embd.weight", w((n_vocab, E), 0.05), quant)
     g.add_tensor("output_norm.weight", np.ones(E, np.float32) + w((E,), 0.01), GGMLType.F32)
-    g.add_tensor("output.weight", w((n_vocab, E)), quant)
+    if not s.get("tie_output"):  # tied-embedding models omit output.weight
+        g.add_tensor("output.weight", w((n_vocab, E)), quant)
     for i in range(L):
         g.add_tensor(f"blk.{i}.attn_norm.weight", np.ones(E, np.float32) + w((E,), 0.01), GGMLType.F32)
         g.add_tensor(f"blk.{i}.attn_q.weight", w((H * D, E)), quant)

@@ -284,3 +284,49 @@ def test_a8k4_session_self_consistent(tmp_path):
     assert score == 1.0  # same-engine replay bit-exact
     inst.stop_session()
     m.close()
+
+
+def test_quant_embedding_exact_dequant():
+    """QuantEmbedding gather-dequant is bitwise identical to the host
+    dequant path (f32 effective scales, same formula)."""
+    import jax.numpy as jnp
+
+    from blama_tpu.gguf.quants import dequantize_q4_k, quantize_q4_k
+    from blama_tpu.ops.pallas.quant_matmul import (
+        emb_lookup, repack_q4k_embedding,
+    )
+
+    rng = np.random.default_rng(7)
+    V, E = 96, 512
+    wf = (rng.standard_normal((V, E)) * 0.05).astype(np.float32)
+    data = quantize_q4_k(wf)
+    ref = dequantize_q4_k(data, V, E).astype(np.float32)
+    emb = repack_q4k_embedding(data, V, E)
+    toks = jnp.asarray([[0, 5, 95], [17, 17, 3]], jnp.int32)
+    out = np.asarray(emb_lookup(emb, toks, dtype=jnp.float32))
+    np.testing.assert_array_equal(out, ref[np.asarray(toks)])
+    assert emb.shape == (V, E)
+
+
+def test_quant_embedding_tied_head(tmp_path):
+    """A fused-mode model without output.weight reads the lm head from the
+    packed token_embd bytes (QuantTensor) and still generates."""
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.ops.pallas.quant_matmul import QuantEmbedding, QuantTensor
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "tied.gguf")
+    write_tiny_llama(p, GGMLType.Q4_K, spec={"tie_output": True})
+    m = Model(p, ModelParams(dtype="q4k_fused"))
+    assert isinstance(m.weights["tok_emb"], QuantEmbedding)
+    assert isinstance(m.weights["output"], QuantTensor)
+    inst = Instance(m, InstanceInitParams(ctx_size=64))
+    s = inst.start_session(SessionInitParams(seed=2, temperature=0.0))
+    s.set_initial_prompt(m.vocab.tokenize("hi", True, True))
+    out = [pr.token for pr in s.complete(CompleteParams(max_tokens=4))]
+    assert len(out) == 4
+    inst.stop_session()
+    m.close()
