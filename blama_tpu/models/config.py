@@ -50,6 +50,9 @@ class ModelConfig:
     # (power of two ≥ max tp degree; 0 = plain contraction). Set by Model
     # from ModelParams, not from GGUF metadata.
     tp_blocks: int = 0
+    # Pallas fused decode attention (flash decode over the KV cache with
+    # in-kernel rope/INT8-dequant). Set by Model from ModelParams.
+    attn_fused: bool = False
     # extra raw metadata for model-specific needs
     extra: dict[str, Any] = field(default_factory=dict)
 

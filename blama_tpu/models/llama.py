@@ -238,6 +238,9 @@ class LlamaStatic:
     # YaRN NTK-by-parts (None unless rope.scaling.type == "yarn"):
     # (ext_factor, attn_factor, beta_fast, beta_slow, orig_ctx)
     yarn: tuple | None = None
+    # Pallas fused decode attention (single-pass flash over the KV cache with
+    # in-kernel rope + INT8 dequant) for T==1 steps; prefill stays XLA.
+    attn_fused: bool = False
 
     @classmethod
     def of(cls, cfg: ModelConfig) -> "LlamaStatic":
@@ -255,6 +258,7 @@ class LlamaStatic:
             cfg.rope_freq_base, cfg.rms_norm_eps, cfg.act_fn, cfg.causal,
             cfg.emb_scale, cfg.norm_plus_one, rope_scale,
             tp_blocks=getattr(cfg, "tp_blocks", 0), yarn=yarn,
+            attn_fused=getattr(cfg, "attn_fused", False),
         )
 
 
@@ -299,8 +303,29 @@ def forward(
     ff = params.get("rope_freqs")  # llama-3.1 per-dim frequency divisors
     q_rope = rope_angles(positions, rope_dim, freq_base, rs,
                          yarn=yarn, freq_factors=ff)
-    kv_rope = rope_angles(jnp.maximum(new_positions, 0), rope_dim, freq_base, rs,
-                          yarn=yarn, freq_factors=ff)
+
+    # T==1 decode steps take the fused flash-attention kernel when enabled:
+    # one pass over the stored (possibly int8) cache with in-kernel rope —
+    # no rotated/dequantized cache copies (ops/pallas/decode_attention.py).
+    from ..ops.pallas import decode_attention as dattn
+
+    use_fused_attn = (
+        getattr(cfg, "attn_fused", False)
+        and tokens.shape[1] == 1
+        and interleaved
+        and cfg.causal
+        and dattn.supports(cache.n_slots, D, cache.k.dtype)
+        # folding the YaRN magnitude scale into the score scale is only exact
+        # when every head dim is rotated
+        and not (yarn is not None and rope_dim < D)
+    )
+    if use_fused_attn:
+        inv_freq_e, rope_mscale = dattn.effective_inv_freq(
+            rope_dim, D, freq_base, rs, yarn=yarn, freq_factors=ff)
+        kv_rope = None
+    else:
+        kv_rope = rope_angles(jnp.maximum(new_positions, 0), rope_dim, freq_base, rs,
+                              yarn=yarn, freq_factors=ff)
 
     def layer_fn(x, scanned):
         p, k_l, v_l, ks_l, vs_l = scanned  # k_l/v_l: [B, S, Hkv, D]
@@ -336,18 +361,26 @@ def forward(
             v_l = write(v_l, slots, v_codes)
             ks_l = write(ks_l, slots, k_sc)
             vs_l = write(vs_l, slots, v_sc)
-            k_use = dequantize_kv(k_l, ks_l, x.dtype)
-            v_use = dequantize_kv(v_l, vs_l, x.dtype)
         else:
             k_l = write(k_l, slots, k)
             v_l = write(v_l, slots, v)
-            k_use, v_use = k_l, v_l
 
-        attn = attention(
-            q, k_use, v_use, positions, new_positions,
-            rope_dim=rope_dim, freq_base=freq_base,
-            interleaved=interleaved, causal=cfg.causal, kv_rope=kv_rope,
-        )
+        if use_fused_attn:
+            attn = dattn.decode_attention(
+                q, k_l, v_l, positions[:, 0], new_positions, inv_freq_e,
+                k_scale=ks_l, v_scale=vs_l, mscale=rope_mscale,
+            )
+        else:
+            if ks_l is not None:
+                k_use = dequantize_kv(k_l, ks_l, x.dtype)
+                v_use = dequantize_kv(v_l, vs_l, x.dtype)
+            else:
+                k_use, v_use = k_l, v_l
+            attn = attention(
+                q, k_use, v_use, positions, new_positions,
+                rope_dim=rope_dim, freq_base=freq_base,
+                interleaved=interleaved, causal=cfg.causal, kv_rope=kv_rope,
+            )
         x = x + qmm_blocked(attn.reshape(B, T, H * D), p["wo"], tpb)
 
         h2 = norm(x, p["ffn_norm"])

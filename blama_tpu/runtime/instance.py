@@ -90,7 +90,15 @@ class Instance:
                 from ..models.moe import make_step_fn
             else:
                 from ..models.llama import make_step_fn
-            self._step = make_step_fn(cfg)
+            step_cfg = cfg
+            if self.params.flash_attn and not cfg.is_moe and mesh is None:
+                # reference Instance::InitParams::flashAttn (Instance.hpp:24);
+                # here it selects the Pallas flash-decode attention kernel
+                from dataclasses import replace as _dc_replace
+
+                step_cfg = _dc_replace(cfg, attn_fused=True)
+            self.step_config = step_cfg  # session fast paths derive statics from this
+            self._step = make_step_fn(step_cfg)
         elif cfg.arch == "gpt2":
             from ..models.gpt2 import make_step_fn
 

@@ -39,6 +39,10 @@ class ModelParams:
     # single-chip decode win) vs dense masked mixture (expert-sharding
     # friendly). None = auto: ragged when unsharded, dense on a mesh.
     moe_ragged: bool | None = None
+    # Decode attention engine: "xla" (two-pass, shared with prefill) or
+    # "fused" (Pallas flash-decode kernel; own numerics — prover and verifier
+    # must pick the same mode, like the reference's CPU/CUDA backend split).
+    attn: str = "xla"
 
 
 class Model:
@@ -51,6 +55,7 @@ class Model:
         self.config.tp_blocks = (8 if self.params.mesh is not None else 0) if tpb < 0 else tpb
         mr = self.params.moe_ragged
         self.config.moe_ragged = (self.params.mesh is None) if mr is None else mr
+        self.config.attn_fused = self.params.attn == "fused"
         self.vocab = Vocab.from_gguf(self.reader)
         self.weights = None
         if not self.params.vocab_only:

@@ -263,7 +263,9 @@ class Session:
         cfg = inst.model.config
         if cfg.arch not in ("llama", "mistral", "qwen2") or cfg.is_moe:
             return None
-        st = LlamaStatic.of(cfg)
+        # derive statics from the instance's step config so the device loop
+        # uses the same attention engine (flash_attn) as the step path
+        st = LlamaStatic.of(getattr(inst, "step_config", cfg))
         tokens, all_logits, cache = continue_greedy(
             st, inst.model.weights, inst.cache,
             jnp.asarray(self._last_logits[None, :]),

@@ -1,0 +1,161 @@
+"""Fused flash-decode attention kernel (ops/pallas/decode_attention.py).
+
+Op-level: kernel output matches the XLA attention chain (ops/attention.py)
+in float32, int8-KV, partial-rope, and bf16 modes. Session-level: the
+flash_attn instance flag (reference Instance.hpp:24) produces the same greedy
+stream as the XLA engine and replays bit-exactly against itself — the
+verification contract for an engine mode (SURVEY.md §3.3).
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax
+
+from blama_tpu.gguf import GGMLType
+from blama_tpu.ops.attention import attention
+from blama_tpu.ops.kv_cache import dequantize_kv, quantize_kv
+from blama_tpu.ops.pallas.decode_attention import (
+    decode_attention, effective_inv_freq, supports,
+)
+from blama_tpu.ops.rope import apply_rope, rope_angles
+from blama_tpu.runtime.instance import Instance, InstanceInitParams
+from blama_tpu.runtime.model import Model, ModelParams
+from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+from blama_tpu.testing import write_tiny_llama
+
+
+def _setup(B=2, H=8, Hkv=2, D=64, S=128, rope_dim=None, fb=10000.0, seed=0):
+    rope_dim = D if rope_dim is None else rope_dim
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, 1, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    kv_pos = np.full((B, S), -1, np.int32)
+    lens = [min(S - 5, 50), min(S - 1, 77)][:B]
+    for b, ln in enumerate(lens):
+        kv_pos[b, :ln] = np.arange(ln)
+    kv_pos = jnp.asarray(kv_pos)
+    q_pos = jnp.asarray([ln - 1 for ln in lens], jnp.int32)
+    qr = apply_rope(q, q_pos[:, None], rope_dim, fb, True,
+                    cos_sin=rope_angles(q_pos[:, None], rope_dim, fb))
+    return qr, k, v, q_pos, kv_pos, rope_dim, fb
+
+
+def test_matches_xla_float32():
+    qr, k, v, q_pos, kv_pos, rd, fb = _setup()
+    ref = attention(qr, k, v, q_pos[:, None], kv_pos, rd, fb)
+    invf, ms = effective_inv_freq(rd, qr.shape[-1], fb)
+    out = decode_attention(qr, k, v, q_pos, kv_pos, invf, mscale=ms)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6)
+
+
+def test_matches_xla_int8_kv():
+    qr, k, v, q_pos, kv_pos, rd, fb = _setup(seed=1)
+    kc, ks = quantize_kv(k)
+    vc, vs = quantize_kv(v)
+    ref = attention(qr, dequantize_kv(kc, ks), dequantize_kv(vc, vs),
+                    q_pos[:, None], kv_pos, rd, fb)
+    invf, ms = effective_inv_freq(rd, qr.shape[-1], fb)
+    out = decode_attention(qr, kc, vc, q_pos, kv_pos, invf,
+                           k_scale=ks, v_scale=vs, mscale=ms)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6)
+
+
+def test_matches_xla_partial_rope_dim():
+    qr, k, v, q_pos, kv_pos, rd, fb = _setup(rope_dim=32, seed=2)
+    ref = attention(qr, k, v, q_pos[:, None], kv_pos, rd, fb)
+    invf, ms = effective_inv_freq(rd, qr.shape[-1], fb)
+    out = decode_attention(qr, k, v, q_pos, kv_pos, invf, mscale=ms)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6)
+
+
+def test_matches_xla_bf16():
+    qr, k, v, q_pos, kv_pos, rd, fb = _setup(seed=3)
+    qb, kb, vb = (a.astype(jnp.bfloat16) for a in (qr, k, v))
+    ref = attention(qb, kb, vb, q_pos[:, None], kv_pos, rd, fb)
+    invf, ms = effective_inv_freq(rd, qr.shape[-1], fb)
+    out = decode_attention(qb, kb, vb, q_pos, kv_pos, invf, mscale=ms)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2)
+
+
+def test_yarn_effective_inv_freq_matches_rope_angles():
+    # eff_inv_freq must reproduce rope_angles' theta as a pure product
+    rd, fb = 64, 10000.0
+    yarn = (1.0, 1.0, 32.0, 1.0, 2048)
+    scale = 0.25
+    pos = jnp.asarray([3, 100, 999], jnp.int32)
+    cos_ref, sin_ref = rope_angles(pos, rd, fb, scale, yarn=yarn)
+    invf, ms = effective_inv_freq(rd, rd, fb, scale, yarn=yarn)
+    theta = pos.astype(jnp.float32)[:, None] * invf[None, 0:rd:2]
+    # algebraically identical; f32 rounding of theta (≈1e-7 relative) is
+    # amplified to ~1e-4 on cos/sin at theta ≈ 1000 rad
+    np.testing.assert_allclose(
+        np.asarray(jnp.cos(theta) * ms), np.asarray(cos_ref), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sin(theta) * ms), np.asarray(sin_ref), atol=1e-3)
+
+
+def test_supports_geometry_gate():
+    assert supports(512, 128, jnp.bfloat16)
+    assert supports(64, 64, jnp.int8)
+    assert not supports(48, 128, jnp.int8)   # no int8-tileable divisor
+    assert not supports(31, 128, jnp.float32)
+
+
+# --- session-level engine-mode tests ---------------------------------------
+
+@pytest.fixture(scope="module")
+def gguf_path(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("fa") / "t.gguf")
+    write_tiny_llama(p, GGMLType.Q4_K)
+    return p
+
+
+def _generate(path, flash, kv_dtype="float32", n=12, fast_greedy=True):
+    m = Model(path, ModelParams(dtype="float32"))
+    inst = Instance(m, InstanceInitParams(
+        ctx_size=64, flash_attn=flash, kv_dtype=kv_dtype,
+        fast_greedy=fast_greedy))
+    s = inst.start_session(SessionInitParams(seed=7, temperature=0.0))
+    s.set_initial_prompt(m.vocab.tokenize("the cat sat", True, True))
+    preds = s.complete(CompleteParams(max_tokens=n))
+    inst.stop_session()
+    m.close()
+    return preds
+
+
+def test_flash_attn_same_greedy_stream(gguf_path):
+    base = _generate(gguf_path, flash=False)
+    fused = _generate(gguf_path, flash=True)
+    assert [p.token for p in base] == [p.token for p in fused]
+
+
+def test_flash_attn_slow_path_matches_device_loop(gguf_path):
+    fast = _generate(gguf_path, flash=True, fast_greedy=True)
+    slow = _generate(gguf_path, flash=True, fast_greedy=False)
+    assert [p.token for p in fast] == [p.token for p in slow]
+    for a, b in zip(fast, slow):
+        assert [l.token for l in a.logits] == [l.token for l in b.logits]
+        np.testing.assert_array_equal(
+            np.asarray([l.logit for l in a.logits], np.float32),
+            np.asarray([l.logit for l in b.logits], np.float32))
+
+
+def test_flash_attn_replay_bit_exact(gguf_path):
+    preds = _generate(gguf_path, flash=True, kv_dtype="int8")
+    m = Model(gguf_path, ModelParams(dtype="float32"))
+    inst = Instance(m, InstanceInitParams(
+        ctx_size=64, flash_attn=True, kv_dtype="int8"))
+    s = inst.start_session(SessionInitParams(seed=7, temperature=0.0))
+    s.set_initial_prompt(m.vocab.tokenize("the cat sat", True, True))
+    replayed = s.fill_ctx(preds)
+    inst.stop_session()
+    m.close()
+    for o, r in zip(preds, replayed):
+        assert [l.token for l in o.logits] == [l.token for l in r.logits]
+        np.testing.assert_array_equal(
+            np.asarray([l.logit for l in o.logits], np.float32),
+            np.asarray([l.logit for l in r.logits], np.float32))
