@@ -177,8 +177,10 @@ def _decode_attn_kernel(
 
 
 def _pick_block_s(S: int, itemsize: int) -> int | None:
-    for bs in (512, 256, 128, 64, 32):
-        if S % bs == 0 and bs >= (32 if itemsize == 1 else 8):
+    # the sublane tile is 32/itemsize (f32: 8, bf16: 16, int8: 32); blocks
+    # below the tile would be padded/misaligned, so they are not offered
+    for bs in (512, 256, 128, 64, 32, 16, 8):
+        if S % bs == 0 and bs >= 32 // itemsize:
             return bs
     return None
 

@@ -91,12 +91,33 @@ class Instance:
             else:
                 from ..models.llama import make_step_fn
             step_cfg = cfg
-            if self.params.flash_attn and not cfg.is_moe and mesh is None:
+            if self.params.flash_attn or getattr(cfg, "attn_fused", False):
                 # reference Instance::InitParams::flashAttn (Instance.hpp:24);
-                # here it selects the Pallas flash-decode attention kernel
-                from dataclasses import replace as _dc_replace
+                # here it selects the Pallas flash-decode attention kernel.
+                # Fused attention is an engine *mode* (prover/verifier must
+                # match numerics), so a request that can't be honored is
+                # loudly reported rather than silently downgraded to XLA.
+                import logging
 
-                step_cfg = _dc_replace(cfg, attn_fused=True)
+                from ..ops.pallas import decode_attention as dattn
+
+                log = logging.getLogger("blama_tpu")
+                if cfg.is_moe or mesh is not None:
+                    log.warning(
+                        "flash_attn requested but unsupported with %s; "
+                        "using XLA attention",
+                        "MoE" if cfg.is_moe else "a device mesh")
+                elif not dattn.supports(self.ctx_len, cfg.head_dim_,
+                                        self.cache.k.dtype):
+                    log.warning(
+                        "flash_attn requested but the fused kernel rejects this "
+                        "geometry (ctx_size=%d head_dim=%d kv_dtype=%s); "
+                        "using XLA attention",
+                        self.ctx_len, cfg.head_dim_, self.params.kv_dtype)
+                else:
+                    from dataclasses import replace as _dc_replace
+
+                    step_cfg = _dc_replace(cfg, attn_fused=True)
             self.step_config = step_cfg  # session fast paths derive statics from this
             self._step = make_step_fn(step_cfg)
         elif cfg.arch == "gpt2":

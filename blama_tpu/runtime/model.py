@@ -55,6 +55,19 @@ class Model:
         self.config.tp_blocks = (8 if self.params.mesh is not None else 0) if tpb < 0 else tpb
         mr = self.params.moe_ragged
         self.config.moe_ragged = (self.params.mesh is None) if mr is None else mr
+        if self.params.attn not in ("xla", "fused"):
+            raise ValueError(
+                f"ModelParams.attn must be 'xla' or 'fused', got {self.params.attn!r}")
+        if self.params.attn == "fused" and (
+                self.params.mesh is not None or self.config.is_moe):
+            # The Pallas decode kernel is an opaque custom call over the whole
+            # KV cache — GSPMD can't partition it across a tp-sharded cache,
+            # and the MoE forward doesn't route through it. Since fused
+            # attention is a verification *mode* (prover and verifier must
+            # match numerics), refusing is safer than a silent fallback.
+            raise ValueError(
+                "attn='fused' is unsupported with a mesh or MoE model; "
+                "use attn='xla' (the sharded/MoE forwards are XLA-attention only)")
         self.config.attn_fused = self.params.attn == "fused"
         self.vocab = Vocab.from_gguf(self.reader)
         self.weights = None

@@ -103,6 +103,54 @@ def test_supports_geometry_gate():
     assert supports(64, 64, jnp.int8)
     assert not supports(48, 128, jnp.int8)   # no int8-tileable divisor
     assert not supports(31, 128, jnp.float32)
+    assert supports(48, 128, jnp.float32)    # 16-block, f32 tile is 8
+    assert supports(48, 128, jnp.bfloat16)   # 16-block, bf16 tile is 16
+    assert supports(40, 64, jnp.float32)     # 8-block, f32 only
+
+
+def test_matches_xla_edited_position_map():
+    """Context-shift (seq_add) and Self-Extend (seq_div) rewrite the position
+    map without moving cache rows; ring-buffer slot reuse scrambles slot
+    order entirely. The in-kernel rope-from-position-map must match the XLA
+    chain on such non-sequential maps (ADVICE r1 #4)."""
+    qr, k, v, q_pos, kv_pos, rd, fb = _setup(seed=4)
+    kv_pos = np.asarray(kv_pos).copy()
+    B, S = kv_pos.shape
+    # row 0: simulate seq_rm(5,20) + seq_add(20,50,-15): positions 5..19
+    # vacated (-1), 20..49 shifted down by 15
+    row = kv_pos[0]
+    row[(row >= 5) & (row < 20)] = -1
+    row[row >= 20] -= 15
+    # row 1: Self-Extend style div on [0,32) then scramble slot order
+    row = kv_pos[1]
+    sel = (row >= 0) & (row < 32)
+    row[sel] = row[sel] // 4
+    perm = np.random.default_rng(5).permutation(S)
+    kv_pos[1] = row[perm]
+    k = k.at[1].set(k[1, perm])
+    v = v.at[1].set(v[1, perm])
+    kv_pos = jnp.asarray(kv_pos)
+    q_pos = jnp.asarray([int(np.max(kv_pos[b])) + 1 for b in range(B)], jnp.int32)
+    qr = apply_rope(
+        jnp.asarray(np.random.default_rng(6).normal(size=qr.shape), jnp.float32),
+        q_pos[:, None], rd, fb, True, cos_sin=rope_angles(q_pos[:, None], rd, fb))
+    ref = attention(qr, k, v, q_pos[:, None], kv_pos, rd, fb)
+    invf, ms = effective_inv_freq(rd, qr.shape[-1], fb)
+    out = decode_attention(qr, k, v, q_pos, kv_pos, invf, mscale=ms)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6)
+
+
+def test_attn_param_validation(tmp_path):
+    """attn is a verification mode: typos and unsupported combinations are
+    rejected loudly, never silently downgraded (ADVICE r1 #1/#2)."""
+    from blama_tpu.parallel.mesh import make_mesh
+
+    p = str(tmp_path / "v.gguf")
+    write_tiny_llama(p, GGMLType.F32)
+    with pytest.raises(ValueError, match="must be 'xla' or 'fused'"):
+        Model(p, ModelParams(dtype="float32", attn="flash"))
+    with pytest.raises(ValueError, match="unsupported with a mesh"):
+        Model(p, ModelParams(dtype="float32", attn="fused", mesh=make_mesh(tp=4)))
 
 
 # --- session-level engine-mode tests ---------------------------------------
@@ -142,6 +190,27 @@ def test_flash_attn_slow_path_matches_device_loop(gguf_path):
         np.testing.assert_array_equal(
             np.asarray([l.logit for l in a.logits], np.float32),
             np.asarray([l.logit for l in b.logits], np.float32))
+
+
+def test_flash_attn_across_context_shift(gguf_path):
+    """Fused decode across a context-shift event (infinite_context) produces
+    the same greedy stream as the XLA engine — the kernel reads the edited
+    position map, not write order (ADVICE r1 #4, session level)."""
+    def run(flash):
+        m = Model(gguf_path, ModelParams(dtype="float32"))
+        inst = Instance(m, InstanceInitParams(
+            ctx_size=32, flash_attn=flash, fast_greedy=False))
+        s = inst.start_session(SessionInitParams(
+            seed=3, temperature=0.0, infinite_context=True))
+        s.set_initial_prompt(m.vocab.tokenize("the cat sat on the mat", True, True))
+        preds = s.complete(CompleteParams(max_tokens=40))  # > ctx 32 → shift
+        inst.stop_session()
+        m.close()
+        return preds
+
+    base, fused = run(False), run(True)
+    assert len(base) > 30
+    assert [p.token for p in base] == [p.token for p in fused]
 
 
 def test_flash_attn_replay_bit_exact(gguf_path):
