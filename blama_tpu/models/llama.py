@@ -428,7 +428,11 @@ def forward(
     tpb_head = getattr(cfg, "tp_blocks", 0)
     if isinstance(params["output"], (QuantTensor, QuantTensorA8, QuantTensorK4,
                                      ShardedQuant, LoraWrapped)):
-        logits = qmm(last_h.astype(jnp.float32), params["output"])
+        # vocab-sharded packed head: tp_blocks pins lane blocks + the min
+        # correction so logits match at any sharding (falls back to qmm
+        # for unsupported layouts, mirrored by shard_quant_llama)
+        logits = qmm_nblocked(last_h.astype(jnp.float32), params["output"],
+                              tpb_head)
     elif tpb_head:
         # vocab-sharded head: fixed-width column blocks for cross-sharding
         # bit-exactness (see layer_fn comment)

@@ -93,13 +93,22 @@ class MoEStatic:
     n_expert: int
     n_expert_used: int
     ragged: bool = False
+    # fixed-topology blocking (see ops/pallas/quant_matmul.qmm_blocked):
+    # pins matmul leaf shapes and combines the expert mixture through a
+    # balanced tree so EP-sharded and solo logits are bit-identical
+    tp_blocks: int = 0
+    # jax Mesh (hashable) when serving sharded: the fixed-topology mixture
+    # runs as a shard_map so each device computes only its local experts
+    mesh: object = None
 
     @classmethod
     def of(cls, cfg: ModelConfig) -> "MoEStatic":
         return cls(cfg.n_head, cfg.n_head_kv, cfg.head_dim_, cfg.rope_dim_,
                    cfg.rope_freq_base, cfg.rms_norm_eps, cfg.act_fn,
                    cfg.n_expert, cfg.n_expert_used,
-                   ragged=bool(getattr(cfg, "moe_ragged", False)))
+                   ragged=bool(getattr(cfg, "moe_ragged", False)),
+                   tp_blocks=getattr(cfg, "tp_blocks", 0),
+                   mesh=getattr(cfg, "mesh", None))
 
 
 def moe_ffn_ragged(h: jnp.ndarray, p: dict, st: MoEStatic) -> jnp.ndarray:
@@ -145,11 +154,56 @@ def moe_ffn(h: jnp.ndarray, p: dict, st: MoEStatic) -> jnp.ndarray:
     onehot = jax.nn.one_hot(top_idx, st.n_expert, dtype=jnp.float32)  # [B,T,k,Ne]
     mix = jnp.einsum("btke,btk->bte", onehot, gate_w)
 
+    if st.tp_blocks and st.n_expert & (st.n_expert - 1) == 0:
+        return _moe_ffn_tpb(h, p, st, mix)
+
     # all-expert computation (masked mixture); expert dim shards over tp/ep
     g = jnp.einsum("btd,edf->btef", h, p["w_gate_exps"])
     u = jnp.einsum("btd,edf->btef", h, p["w_up_exps"])
     expert_out = jnp.einsum("btef,efd->bted", act(g) * u, p["w_down_exps"])
     return jnp.einsum("bte,bted->btd", mix.astype(h.dtype), expert_out)
+
+
+def _moe_ffn_tpb(h: jnp.ndarray, p: dict, st: MoEStatic,
+                 mix: jnp.ndarray) -> jnp.ndarray:
+    """Fixed-topology dense mixture (VERDICT r1 #1, MoE leg).
+
+    Each expert's FFN is an UNROLLED chain of full-shape dots — a batched
+    einsum's per-leaf arithmetic varies with the LOCAL batch count on some
+    backends (measured on XLA CPU), which would break solo-vs-EP exactness.
+    Contributions then combine through a balanced halving tree over the
+    expert axis, so every engine performs identical additions. On a mesh the
+    unrolled chain runs inside a shard_map: each device computes only its
+    local experts (the EP memory/compute win is preserved) and only the
+    [Ne, B, T, E] contributions travel."""
+    from jax.sharding import PartitionSpec as P
+
+    act = _act(st.act_fn)
+
+    def unrolled(h_l, mix_l, wg, wu, wd):
+        outs = []
+        for e in range(wg.shape[0]):
+            g = h_l @ wg[e]
+            u = h_l @ wu[e]
+            y = (act(g) * u) @ wd[e]                 # [B, T, E]
+            outs.append(y * mix_l[..., e, None].astype(y.dtype))
+        return jnp.stack(outs)                       # [Ne(_local), B, T, E]
+
+    mesh = st.mesh
+    tp_size = mesh.shape["tp"] if mesh is not None else 1
+    if mesh is not None and tp_size > 1 and st.n_expert % tp_size == 0:
+        parts = jax.shard_map(
+            unrolled, mesh=mesh,
+            in_specs=(P("dp", None, None), P("dp", None, "tp"),
+                      P("tp"), P("tp"), P("tp")),
+            out_specs=P("tp", "dp", None, None), check_vma=False,
+        )(h, mix, p["w_gate_exps"], p["w_up_exps"], p["w_down_exps"])
+    else:
+        parts = unrolled(h, mix, p["w_gate_exps"], p["w_up_exps"],
+                         p["w_down_exps"])
+    while parts.shape[0] > 1:                        # balanced tree over Ne
+        parts = parts[0::2] + parts[1::2]
+    return parts[0].astype(h.dtype)
 
 
 def forward(params, st: MoEStatic, tokens, positions, slots, cache: KVCache, logits_index):
@@ -161,20 +215,25 @@ def forward(params, st: MoEStatic, tokens, positions, slots, cache: KVCache, log
         cache.positions, slots, positions
     )
 
+    tpb = st.tp_blocks
+    from ..ops.pallas.quant_matmul import qmm_blocked, qmm_nblocked
+
     def layer_fn(x, scanned):
         p, k_l, v_l = scanned
         B, T, E = x.shape
         h = rms_norm(x, p["attn_norm"], eps)
-        q = (h @ p["wq"]).reshape(B, T, H, D)
-        k = (h @ p["wk"]).reshape(B, T, Hkv, D)
-        v = (h @ p["wv"]).reshape(B, T, Hkv, D)
+        # tp_blocks pins leaf shapes so head-sharded attention projections
+        # and the K-sharded wo match solo bit-exactly (see models/llama.py)
+        q = qmm_nblocked(h, p["wq"], tpb).reshape(B, T, H, D)
+        k = qmm_nblocked(h, p["wk"], tpb).reshape(B, T, Hkv, D)
+        v = qmm_nblocked(h, p["wv"], tpb).reshape(B, T, Hkv, D)
         q = apply_rope(q, positions, st.rope_dim, st.freq_base, True)
         write = jax.vmap(lambda c, s, n: c.at[s].set(n, mode="drop"))
         k_l = write(k_l, slots, k)
         v_l = write(v_l, slots, v)
         attn = attention(q, k_l, v_l, positions, new_positions,
                          rope_dim=st.rope_dim, freq_base=st.freq_base)
-        x = x + attn.reshape(B, T, H * D) @ p["wo"]
+        x = x + qmm_blocked(attn.reshape(B, T, H * D), p["wo"], tpb)
 
         h2 = rms_norm(x, p["ffn_norm"], eps)
         x = x + moe_ffn(h2, p, st)
@@ -184,7 +243,12 @@ def forward(params, st: MoEStatic, tokens, positions, slots, cache: KVCache, log
 
     last_h = jax.vmap(lambda xb, i: xb[i])(x, logits_index)
     last_h = rms_norm(last_h, params["out_norm"], eps)
-    logits = last_h.astype(jnp.float32) @ params["output"].astype(jnp.float32)
+    if tpb:
+        logits = qmm_nblocked(last_h.astype(jnp.float32),
+                              params["output"].astype(jnp.float32), tpb,
+                              out_dtype=jnp.float32)
+    else:
+        logits = last_h.astype(jnp.float32) @ params["output"].astype(jnp.float32)
     logits = logits[:, : params["tok_emb"].shape[0]]
     return logits, KVCache(k_new, v_new, new_positions)
 

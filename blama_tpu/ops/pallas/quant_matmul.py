@@ -128,14 +128,14 @@ def repack_q4k_for_tpu(data: np.ndarray, n_rows: int, row_len: int) -> QuantTens
     )
 
 
-def _q4k_matmul_kernel(x_ref, codes_ref, scales_ref, out_ref):
-    k = pl.program_id(1)
+def _q4k_block_body(x_ref, codes_ref, scales_ref) -> jnp.ndarray:
+    """One K-step of the exact kernel: unpack + dequant + dot → [B, NT] f32.
 
-    # int32 mask/shift unpack (measured faster than the float-domain
-    # floor/fma variant on the v5e VPU; Mosaic lacks sub-32-bit shifts so
-    # the upcast is required either way). The block may hold several
-    # superblocks; the lo/hi pairing is per 256-row superblock, so unpack
-    # slab-wise.
+    int32 mask/shift unpack (measured faster than the float-domain
+    floor/fma variant on the v5e VPU; Mosaic lacks sub-32-bit shifts so
+    the upcast is required either way). The block may hold several
+    superblocks; the lo/hi pairing is per 256-row superblock, so unpack
+    slab-wise."""
     codes = codes_ref[:].astype(jnp.int32)     # [kb·KT/2, NT]
     nt = codes.shape[1]
     kb = codes.shape[0] // (KT // 2)
@@ -149,7 +149,12 @@ def _q4k_matmul_kernel(x_ref, codes_ref, scales_ref, out_ref):
     w = (q3 * scales[:, None, :]).reshape(kb * KT, nt)
 
     x = x_ref[:].astype(jnp.float32)           # [B, kb·KT]
-    partial_out = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def _q4k_matmul_kernel(x_ref, codes_ref, scales_ref, out_ref):
+    k = pl.program_id(1)
+    partial_out = _q4k_block_body(x_ref, codes_ref, scales_ref)
 
     @pl.when(k == 0)
     def _():
@@ -160,9 +165,8 @@ def _q4k_matmul_kernel(x_ref, codes_ref, scales_ref, out_ref):
         out_ref[:] = out_ref[:] + partial_out
 
 
-@partial(jax.jit, static_argnums=(2,))
-def q4k_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 4096) -> jnp.ndarray:
-    """x [B, K] @ packed W [K, N] → [B, N] f32."""
+def _q4k_pos(x: jnp.ndarray, w: QuantTensor, block_n: int) -> jnp.ndarray:
+    """Positive part of the exact kernel: x @ (codes·scales), no min term."""
     B, K = x.shape
     K2, N = w.codes.shape
     assert K == K2 * 2, (x.shape, w.codes.shape)
@@ -173,7 +177,7 @@ def q4k_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 4096) -> jnp.ndarr
     kt_blk = kb * KT
     grid = (N // bn, K // kt_blk)
 
-    pos = pl.pallas_call(
+    return pl.pallas_call(
         _q4k_matmul_kernel,
         grid=grid,
         in_specs=[
@@ -193,6 +197,13 @@ def q4k_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 4096) -> jnp.ndarr
         ),
         interpret=jax.default_backend() == "cpu",
     )(x, w.codes, w.scales)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def q4k_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 4096) -> jnp.ndarray:
+    """x [B, K] @ packed W [K, N] → [B, N] f32."""
+    B, K = x.shape
+    pos = _q4k_pos(x, w, block_n)
     # affine `- min` correction outside the kernel: pulls one elementwise op
     # per weight out of the VPU-bound unpack path.
     # Σ_k x_k(s·q − m) = kernel(x) − Σ_g (Σ_{k∈g} x_k)·m_g,n
@@ -212,8 +223,28 @@ def qmm_blocked(x: jnp.ndarray, w, nb: int) -> jnp.ndarray:
     across shardings is exact rather than threshold-level. Enable via
     ModelConfig.tp_blocks (a power of two); nb=0 falls back to the plain
     contraction.
+
+    Packed (QuantTensor/QuantTensorA8S) weights take the K-blocked kernel
+    path when the K axis is superblock-alignable (tp_blocks section below);
+    other quantized variants fall back to qmm — mirrored by
+    shard_quant_llama, which replicates them so sharded and solo engines
+    stay on the same path.
     """
-    if (not nb or isinstance(w, (QuantTensor, QuantTensorA8, LoraWrapped, ShardedQuant))
+    if nb:
+        if isinstance(w, LoraWrapped):
+            # runtime low-rank term on replicated a/b: fixed leaf shapes at
+            # any tp; the base takes whatever blocked path it supports
+            base = qmm_blocked(x, w.base, nb)
+            lora = (x.astype(jnp.float32) @ w.a) @ w.b
+            return (base.astype(jnp.float32) + lora).astype(base.dtype)
+        if (isinstance(w, ShardedQuant) and w.axis == "k"
+                and _parts_supported(w.base, nb)
+                and nb % w.mesh.shape[w.tp] == 0):
+            return _qmm_sharded_blocked_k(x, w, nb)
+        if _parts_supported(w, nb):
+            return _qmm_quant_blocked(x, w, nb)
+    if (not nb or isinstance(w, (QuantTensor, QuantTensorA8, QuantTensorK4,
+                                 LoraWrapped, ShardedQuant))
             or x.shape[-1] % nb or nb & (nb - 1)):
         return qmm(x, w)
     lead, K = x.shape[:-1], x.shape[-1]
@@ -236,8 +267,28 @@ def qmm_nblocked(x: jnp.ndarray, w, nb: int, out_dtype=None) -> jnp.ndarray:
     (observed on the XLA CPU backend), which breaks cross-tp bit-exactness.
     Batching the columns into `nb` fixed-width blocks makes every engine
     compute identical [M, K] x [K, N/nb] leaves regardless of tp; the
-    concatenation is pure data movement."""
-    if (not nb or isinstance(w, (QuantTensor, QuantTensorA8, LoraWrapped, ShardedQuant))
+    concatenation is pure data movement.
+
+    Packed (QuantTensor/QuantTensorA8S) weights get the analogous pinning:
+    kernel lane blocks fixed at TPB_BLOCK_N and a column-blocked min
+    correction (tp_blocks section below)."""
+    if nb:
+        if isinstance(w, LoraWrapped):
+            base = qmm_nblocked(x, w.base, nb)
+            lora = (x.astype(jnp.float32) @ w.a) @ w.b
+            return (base.astype(jnp.float32) + lora).astype(
+                out_dtype or base.dtype)
+        if (isinstance(w, ShardedQuant) and w.axis == "n"
+                and _pinned_supported(w.base)):
+            out = _qmm_sharded(x, w, pinned=True)
+            return out if out_dtype is None else out.astype(out_dtype)
+        if _pinned_supported(w):
+            lead = x.shape[:-1]
+            flat = x.reshape(-1, x.shape[-1])
+            out = _quant_kernel_call_pinned(flat, w)[:, : w.n_out]
+            return out.reshape(*lead, -1).astype(out_dtype or x.dtype)
+    if (not nb or isinstance(w, (QuantTensor, QuantTensorA8, QuantTensorK4,
+                                 LoraWrapped, ShardedQuant))
             or w.shape[-1] % nb):
         return qmm(x, w)
     lead, K = x.shape[:-1], x.shape[-1]
@@ -378,8 +429,9 @@ class ShardedQuant:
         return self.base.n_out
 
 
-def _qmm_sharded(x: jnp.ndarray, w: ShardedQuant) -> jnp.ndarray:
-    """shard_map island around the packed-weight kernel."""
+def _qmm_sharded(x: jnp.ndarray, w: ShardedQuant, pinned: bool = False) -> jnp.ndarray:
+    """shard_map island around the packed-weight kernel. pinned=True selects
+    the fixed-lane-block kernels (tp_blocks mode, see section below)."""
     from jax.sharding import PartitionSpec as P
 
     lead = x.shape[:-1]
@@ -393,7 +445,8 @@ def _qmm_sharded(x: jnp.ndarray, w: ShardedQuant) -> jnp.ndarray:
         out_spec = P(None, tp)
 
         def f(xl, *wl):
-            return _quant_kernel_call(xl, treedef.unflatten(wl))
+            call = _quant_kernel_call_pinned if pinned else _quant_kernel_call
+            return call(xl, treedef.unflatten(wl))
     else:  # "k": x sharded on K, partials psummed
         x_spec = P(None, tp)
         w_specs = [P(tp, None) for _ in leaves]            # all [K/«», N_pad]
@@ -510,9 +563,9 @@ def _a8s_planes(xq: jnp.ndarray, kb: int):
     return mk(x_lo), mk(x_hi)
 
 
-def _a8s_kernel(planes_lo_ref, planes_hi_ref, xs_ref, codes_ref, scales_ref,
-                out_ref):
-    ks = pl.program_id(1)
+def _a8s_block_body(planes_lo_ref, planes_hi_ref, xs_ref, codes_ref,
+                    scales_ref) -> jnp.ndarray:
+    """One K-slab of the SWAR kernel: int8 MXU dots + scale combine → [B, bn]."""
     w32 = pltpu.bitcast(codes_ref[:], jnp.int32)        # [kb*KT/8, bn]
     lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)      # [kb*KT/2, bn]
     hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
@@ -535,6 +588,14 @@ def _a8s_kernel(planes_lo_ref, planes_hi_ref, xs_ref, codes_ref, scales_ref,
     acc += jnp.sum(ip_hi.astype(jnp.float32).reshape(P, B, bn)
                    * ws[:, 4:].reshape(P, 1, bn) * xs[:, 4:].reshape(P, B, 1),
                    axis=0)
+    return acc
+
+
+def _a8s_kernel(planes_lo_ref, planes_hi_ref, xs_ref, codes_ref, scales_ref,
+                out_ref):
+    ks = pl.program_id(1)
+    acc = _a8s_block_body(planes_lo_ref, planes_hi_ref, xs_ref, codes_ref,
+                          scales_ref)
 
     @pl.when(ks == 0)
     def _():
@@ -550,10 +611,9 @@ def _a8s_kernel(planes_lo_ref, planes_hi_ref, xs_ref, codes_ref, scales_ref,
 A8S_MAX_BATCH = 16
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def w4a8_swar_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 2048,
-                     kb: int = 4) -> jnp.ndarray:
-    """x [B, K] @ packed W [K, N] → [B, N] f32 via SWAR unpack + int8 MXU."""
+def _a8s_pos(x: jnp.ndarray, w: QuantTensor, block_n: int, kb: int):
+    """Positive part of the SWAR kernel; returns (pos [B, N] f32,
+    sx = (x_scale·x_sum).T [B, K/32] f32 for the caller's min correction)."""
     B, K = x.shape
     K2, N = w.codes.shape
     assert K == K2 * 2, (x.shape, w.codes.shape)
@@ -589,7 +649,15 @@ def w4a8_swar_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 2048,
         ),
         interpret=jax.default_backend() == "cpu",
     )(p_lo, p_hi, xsT, w.codes, w.scales)
-    neg = jnp.dot((xsT * xsumT).T, w.mins, preferred_element_type=jnp.float32)
+    return pos, (xsT * xsumT).T
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def w4a8_swar_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 2048,
+                     kb: int = 4) -> jnp.ndarray:
+    """x [B, K] @ packed W [K, N] → [B, N] f32 via SWAR unpack + int8 MXU."""
+    pos, sx = _a8s_pos(x, w, block_n, kb)
+    neg = jnp.dot(sx, w.mins, preferred_element_type=jnp.float32)
     return pos - neg
 
 
@@ -1041,3 +1109,353 @@ def quantize_activations(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.
         axis=0,
     )                                                        # [G·B, K]
     return planes, scale.T, xsum.T
+
+
+# ---------------------------------------------------------------------------
+# Fixed-topology (tp_blocks) paths for quantized weights
+# ---------------------------------------------------------------------------
+#
+# Extends the cross-sharding bit-exactness contract of qmm_blocked /
+# qmm_nblocked (SURVEY.md §7.3 hardest-part #1) to the packed production
+# engines (q4k_fused = QuantTensor, q4k_a8 = QuantTensorA8S):
+#
+#  * contraction-sharded weights (wo, w_down): the K axis is split into `nb`
+#    superblock-aligned blocks; ONE kernel dispatch computes every block's
+#    partial product (with its min correction folded per block), and the
+#    partials combine through the same balanced halving tree as the dense
+#    path — GSPMD shards the block axis over tp and pins the association,
+#    so a tp=8 prover and a solo verifier perform identical additions.
+#  * output-sharded weights (wq/k/v, gate/up, lm head): the kernel's lane
+#    block is pinned to TPB_BLOCK_N, so every engine computes identical
+#    per-column-block leaves regardless of the LOCAL shard width.
+#
+# In BOTH modes the min correction moves INSIDE the kernel (per K-step,
+# like q4k_native_matmul): an outside dot's arithmetic varies with the
+# operand widths XLA sees (measured on the CPU backend: a batched
+# dot_general's per-leaf results change with the batch count), while the
+# in-kernel dot has a fixed block shape everywhere.
+#
+# Eligibility (checked by _parts_supported and mirrored by
+# parallel.sharding.shard_quant_llama so sharded and solo engines always
+# take the same path): K % (nb·256) == 0 for K-blocked weights, local
+# width % TPB_BLOCK_N == 0 for output-sharded ones; unsupported tensors
+# replicate on the mesh and run the plain kernel identically everywhere.
+
+# Pinned lane-block width in tp_blocks mode. 128 (not 256) so every eligible
+# width yields >= 2 grid programs: a single-program pallas grid compiles its
+# lone iteration differently from a multi-program loop (measured on the CPU
+# interpret path — (1,1) grids diverge from (2,1)+ grids at the last ulp),
+# while all >= 2-program grids share one traced body. Eligibility requires
+# local width % 256 == 0, so the n grid dim is always >= 2.
+TPB_BLOCK_N = 128
+
+
+def _parts_supported(w, nb: int) -> bool:
+    """Whether w can take the K-blocked fixed-topology path at nb blocks."""
+    return (type(w) in (QuantTensor, QuantTensorA8S)
+            and nb > 0 and nb & (nb - 1) == 0
+            and w.shape[0] % (nb * KT) == 0)
+
+
+def _pinned_supported(w) -> bool:
+    return type(w) in (QuantTensor, QuantTensorA8S)
+
+
+def _tree_combine(parts: jnp.ndarray) -> jnp.ndarray:
+    """Balanced halving tree over the leading (block) axis — the association
+    every engine shares (identical to the dense qmm_blocked tree)."""
+    while parts.shape[0] > 1:
+        parts = parts[0::2] + parts[1::2]
+    return parts[0]
+
+
+def _q4k_tpb_body(xg_ref, x_ref, codes_ref, scales_ref, mins_ref) -> jnp.ndarray:
+    """One K-step of the exact kernel with its min correction folded in."""
+    pos = _q4k_block_body(x_ref, codes_ref, scales_ref)
+    neg = jax.lax.dot_general(
+        xg_ref[:], mins_ref[:].astype(jnp.float32),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return pos - neg
+
+
+def _a8s_tpb_body(planes_lo_ref, planes_hi_ref, xs_ref, sxm_ref, codes_ref,
+                  scales_ref, mins_ref) -> jnp.ndarray:
+    """One K-slab of the SWAR kernel with its min correction folded in."""
+    pos = _a8s_block_body(planes_lo_ref, planes_hi_ref, xs_ref, codes_ref,
+                          scales_ref)
+    neg = jax.lax.dot_general(
+        sxm_ref[:], mins_ref[:].astype(jnp.float32),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return pos - neg
+
+
+def _q4k_pinned_kernel(xg_ref, x_ref, codes_ref, scales_ref, mins_ref, out_ref):
+    k = pl.program_id(1)
+    partial_out = _q4k_tpb_body(xg_ref, x_ref, codes_ref, scales_ref, mins_ref)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = partial_out
+
+    @pl.when(k != 0)
+    def _():
+        out_ref[:] = out_ref[:] + partial_out
+
+
+def _q4k_parts_kernel(xg_ref, x_ref, codes_ref, scales_ref, mins_ref, out_ref):
+    k = pl.program_id(2)
+    partial_out = _q4k_tpb_body(xg_ref, x_ref, codes_ref, scales_ref, mins_ref)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[0] = partial_out
+
+    @pl.when(k != 0)
+    def _():
+        out_ref[0] = out_ref[0] + partial_out
+
+
+def _a8s_pinned_kernel(planes_lo_ref, planes_hi_ref, xs_ref, sxm_ref,
+                       codes_ref, scales_ref, mins_ref, out_ref):
+    k = pl.program_id(1)
+    acc = _a8s_tpb_body(planes_lo_ref, planes_hi_ref, xs_ref, sxm_ref,
+                        codes_ref, scales_ref, mins_ref)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(k != 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+def _a8s_parts_kernel(planes_lo_ref, planes_hi_ref, xs_ref, sxm_ref,
+                      codes_ref, scales_ref, mins_ref, out_ref):
+    k = pl.program_id(2)
+    acc = _a8s_tpb_body(planes_lo_ref, planes_hi_ref, xs_ref, sxm_ref,
+                        codes_ref, scales_ref, mins_ref)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[0] = acc
+
+    @pl.when(k != 0)
+    def _():
+        out_ref[0] = out_ref[0] + acc
+
+
+def _q4k_tpb_call(x: jnp.ndarray, w: QuantTensor, nb: int, block_n: int):
+    """Shared exact-kernel dispatch for the tp_blocks paths.
+
+    nb == 0: pinned mode — [B, N] with lane blocks fixed at block_n.
+    nb > 0:  parts mode — [nb, B, N] per-K-block partials."""
+    B, K = x.shape
+    K2, N = w.codes.shape
+    assert K == K2 * 2, (x.shape, w.codes.shape)
+    Kb = K // nb if nb else K
+    assert Kb % KT == 0, (K, nb)
+    bn = min(block_n, N)
+    while N % bn != 0:
+        bn //= 2
+    kb = KB if Kb % (KB * KT) == 0 else 1
+    kt_blk = kb * KT
+    ks = Kb // kt_blk
+    xg = jnp.sum(x.astype(jnp.float32).reshape(B, K // GROUP, GROUP), axis=-1).T
+
+    if nb:
+        grid = (nb, N // bn, ks)
+        kidx = lambda i, n, k: (i * ks + k,)
+        out_specs = pl.BlockSpec((1, B, bn), lambda i, n, k: (i, 0, n),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((nb, B, N), jnp.float32)
+        kernel = _q4k_parts_kernel
+        nidx = lambda i, n, k: (n,)
+    else:
+        grid = (N // bn, K // kt_blk)
+        kidx = lambda n, k: (k,)
+        out_specs = pl.BlockSpec((B, bn), lambda n, k: (0, n),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, N), jnp.float32)
+        kernel = _q4k_pinned_kernel
+        nidx = lambda n, k: (n,)
+    in_specs = [
+        pl.BlockSpec((kt_blk // GROUP, B), lambda *a: kidx(*a) + (0,),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, kt_blk), lambda *a: (0,) + kidx(*a),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((kt_blk // 2, bn), lambda *a: kidx(*a) + nidx(*a),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((kt_blk // GROUP, bn), lambda *a: kidx(*a) + nidx(*a),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((kt_blk // GROUP, bn), lambda *a: kidx(*a) + nidx(*a),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * (len(grid) - 1) + ("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * N,
+            bytes_accessed=K * N // 2 + K * N // 4 + B * K * 4
+            + max(nb, 1) * B * N * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(xg, x, w.codes, w.scales, w.mins)
+
+
+def _a8s_tpb_call(x: jnp.ndarray, w: QuantTensor, nb: int, block_n: int,
+                  kb: int = 4):
+    """Shared SWAR-kernel dispatch for the tp_blocks paths (see _q4k_tpb_call)."""
+    B, K = x.shape
+    K2, N = w.codes.shape
+    assert K == K2 * 2, (x.shape, w.codes.shape)
+    Kb = K // nb if nb else K
+    bn = min(block_n, N)
+    while N % bn != 0:
+        bn //= 2
+    while Kb % (kb * KT) != 0:
+        kb //= 2
+    slab = kb * KT
+    P = kb * 4
+    xq, xsT, xsumT = _quant_acts(x)
+    p_lo, p_hi = _a8s_planes(xq, kb)
+    sxm = xsT * xsumT                                 # [K/32, B]
+    ks = Kb // slab
+
+    if nb:
+        grid = (nb, N // bn, ks)
+        kidx = lambda i, n, k: (i * ks + k,)
+        nidx = lambda i, n, k: (n,)
+        out_specs = pl.BlockSpec((1, B, bn), lambda i, n, k: (i, 0, n),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((nb, B, N), jnp.float32)
+        kernel = _a8s_parts_kernel
+    else:
+        grid = (N // bn, K // slab)
+        kidx = lambda n, k: (k,)
+        nidx = lambda n, k: (n,)
+        out_specs = pl.BlockSpec((B, bn), lambda n, k: (0, n),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, N), jnp.float32)
+        kernel = _a8s_pinned_kernel
+    in_specs = [
+        pl.BlockSpec((P * B, slab // 2), lambda *a: (0,) + kidx(*a),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P * B, slab // 2), lambda *a: (0,) + kidx(*a),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((slab // GROUP, B), lambda *a: kidx(*a) + (0,),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((slab // GROUP, B), lambda *a: kidx(*a) + (0,),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((slab // 2, bn), lambda *a: kidx(*a) + nidx(*a),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((slab // GROUP, bn), lambda *a: kidx(*a) + nidx(*a),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((slab // GROUP, bn), lambda *a: kidx(*a) + nidx(*a),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * (len(grid) - 1) + ("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * P * B * (K // 2) * N,
+            bytes_accessed=K * N // 2 + (K // GROUP) * N * 4 + P * B * K
+            + max(nb, 1) * B * N * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(p_lo, p_hi, xsT, sxm, w.codes, w.scales, w.mins)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def q4k_matmul_parts(x: jnp.ndarray, w: QuantTensor, nb: int,
+                     block_n: int = TPB_BLOCK_N) -> jnp.ndarray:
+    """x [B, K] @ packed W → per-K-block partials [nb, B, N] f32, min
+    corrections folded per K-step in-kernel. Requires K % (nb·KT) == 0."""
+    assert x.shape[1] % (nb * KT) == 0, (x.shape, nb)
+    return _q4k_tpb_call(x, w, nb, block_n)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def a8s_matmul_parts(x: jnp.ndarray, w: QuantTensor, nb: int,
+                     block_n: int = TPB_BLOCK_N) -> jnp.ndarray:
+    """SWAR int8-MXU variant of q4k_matmul_parts → [nb, B, N] f32."""
+    assert x.shape[1] % (nb * KT) == 0, (x.shape, nb)
+    return _a8s_tpb_call(x, w, nb, block_n)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def q4k_matmul_pinned(x: jnp.ndarray, w: QuantTensor,
+                      block_n: int = TPB_BLOCK_N) -> jnp.ndarray:
+    """Exact kernel with pinned lane blocks and in-kernel min correction:
+    identical per-column-block arithmetic at any output sharding."""
+    return _q4k_tpb_call(x, w, 0, block_n)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def w4a8_swar_pinned(x: jnp.ndarray, w: QuantTensor,
+                     block_n: int = TPB_BLOCK_N) -> jnp.ndarray:
+    """SWAR kernel with pinned lane blocks and in-kernel min correction."""
+    return _a8s_tpb_call(x, w, 0, block_n)
+
+
+def _quant_parts_call(flat: jnp.ndarray, w, nb: int) -> jnp.ndarray:
+    """K-blocked partials dispatch, mirroring _quant_kernel_call's
+    batch-size rule so prover and verifier at the same batch agree."""
+    if type(w) is QuantTensorA8S and flat.shape[0] <= A8S_MAX_BATCH:
+        return a8s_matmul_parts(flat, w, nb)
+    return q4k_matmul_parts(flat, w, nb)
+
+
+def _quant_kernel_call_pinned(flat: jnp.ndarray, w) -> jnp.ndarray:
+    if type(w) is QuantTensorA8S and flat.shape[0] <= A8S_MAX_BATCH:
+        return w4a8_swar_pinned(flat, w)
+    return q4k_matmul_pinned(flat, w)
+
+
+def _qmm_quant_blocked(x: jnp.ndarray, w, nb: int) -> jnp.ndarray:
+    """Unsharded K-blocked quantized matmul (the solo side of the contract)."""
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, x.shape[-1])
+    parts = _quant_parts_call(flat, w, nb)
+    out = _tree_combine(parts)
+    return out[:, : w.n_out].reshape(*lead, -1).astype(x.dtype)
+
+
+def _qmm_sharded_blocked_k(x: jnp.ndarray, w: ShardedQuant, nb: int) -> jnp.ndarray:
+    """K-sharded ShardedQuant under tp_blocks: each device emits its own
+    K-block partials from one kernel dispatch; the halving tree combines
+    them in GSPMD-land with the graph-pinned association."""
+    from jax.sharding import PartitionSpec as P
+
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, x.shape[-1])
+    leaves, treedef = jax.tree_util.tree_flatten(w.base)
+    tp = w.tp
+    tp_size = w.mesh.shape[tp]
+    assert nb % tp_size == 0, (nb, tp_size)
+    nb_local = nb // tp_size
+
+    def f(xl, *wl):
+        return _quant_parts_call(xl, treedef.unflatten(wl), nb_local)
+
+    parts = jax.shard_map(
+        f, mesh=w.mesh,
+        in_specs=(P(None, tp), *[P(tp, None) for _ in leaves]),
+        out_specs=P(tp, None, None), check_vma=False,
+    )(flat, *leaves)                                  # [nb, B, N] block-sharded
+    out = _tree_combine(parts)
+    return out[:, : w.n_out].reshape(*lead, -1).astype(x.dtype)

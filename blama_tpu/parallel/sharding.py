@@ -69,19 +69,27 @@ _QUANT_ROLE_AXIS = {
 }
 
 
-def shard_quant_llama(w: dict, mesh: Mesh, tp: str = "tp") -> dict:
+def shard_quant_llama(w: dict, mesh: Mesh, tp: str = "tp",
+                      tp_blocks: int = 0) -> dict:
     """Shard a quantized (list-layout) llama param tree over the tp axis.
 
     Packed weights become ShardedQuant wrappers (manual shard_map TP around
     the Pallas kernels — GSPMD cannot partition opaque custom calls); dense
     2-D tensors in the same tree get the matching GSPMD NamedSharding; 1-D
     tensors replicate. K-sharding requires superblock alignment
-    (K % (tp·256) == 0); misaligned tensors stay replicated."""
+    (K % (tp·256) == 0); misaligned tensors stay replicated.
+
+    tp_blocks > 0 tightens eligibility to exactly the tensors the
+    fixed-topology quantized paths support (quant_matmul tp_blocks section),
+    so a sharded prover and a solo verifier always run the same arithmetic:
+    K-sharding needs K % (tp_blocks·256) == 0 and tp | tp_blocks; n-sharding
+    needs the LOCAL width to be a multiple of TPB_BLOCK_N; unsupported
+    variants (K4 layouts) replicate and run the plain kernel everywhere."""
     import jax.numpy as jnp
 
     from ..ops.pallas.quant_matmul import (
-        QuantEmbedding, QuantTensor, QuantTensorA8, QuantTensorK4,
-        ShardedQuant,
+        TPB_BLOCK_N, QuantEmbedding, QuantTensor, QuantTensorA8,
+        QuantTensorK4, ShardedQuant, _parts_supported, _pinned_supported,
     )
 
     tp_size = mesh.shape[tp]
@@ -102,6 +110,16 @@ def shard_quant_llama(w: dict, mesh: Mesh, tp: str = "tp") -> dict:
                 axis = None
             if axis == "n" and n_pad % tp_size:
                 axis = None
+            if tp_blocks:
+                if axis == "k" and not (_parts_supported(w_t, tp_blocks)
+                                        and tp_blocks % tp_size == 0):
+                    axis = None
+                # local width must be a multiple of 256 (= 2 pinned lane
+                # blocks, so the kernel grid never degenerates to a single
+                # program — see TPB_BLOCK_N)
+                if axis == "n" and not (_pinned_supported(w_t)
+                                        and (n_pad // tp_size) % (2 * TPB_BLOCK_N) == 0):
+                    axis = None
             if axis is None:
                 return jax.tree_util.tree_map(rep, w_t)
             spec = P(None, tp) if axis == "n" else P(tp, None)

@@ -72,13 +72,16 @@ class Instance:
             from ..parallel import sharding as sh
 
             kv = sh.kv_cache_specs()
+            from jax.sharding import PartitionSpec as _P
+
+            scale_spec = _P(*tuple(kv["k"])[:-1])  # [L, B, S, Hkv]: drop head-dim axis
             self.cache = kvc.KVCache(
                 jax.device_put(self.cache.k, NamedSharding(mesh, kv["k"])),
                 jax.device_put(self.cache.v, NamedSharding(mesh, kv["v"])),
                 jax.device_put(self.cache.positions, NamedSharding(mesh, kv["positions"])),
-                jax.device_put(self.cache.k_scale, NamedSharding(mesh, kv["k"][:-1]))
+                jax.device_put(self.cache.k_scale, NamedSharding(mesh, scale_spec))
                 if self.cache.k_scale is not None else None,
-                jax.device_put(self.cache.v_scale, NamedSharding(mesh, kv["v"][:-1]))
+                jax.device_put(self.cache.v_scale, NamedSharding(mesh, scale_spec))
                 if self.cache.v_scale is not None else None,
             )
         self.allocator = kvc.SlotAllocator(self.ctx_len)

@@ -69,6 +69,7 @@ class Model:
                 "attn='fused' is unsupported with a mesh or MoE model; "
                 "use attn='xla' (the sharded/MoE forwards are XLA-attention only)")
         self.config.attn_fused = self.params.attn == "fused"
+        self.config.mesh = self.params.mesh  # MoE fixed-topology shard_map
         self.vocab = Vocab.from_gguf(self.reader)
         self.weights = None
         if not self.params.vocab_only:
@@ -128,8 +129,10 @@ class Model:
         mesh = self.params.mesh
         if isinstance(w.get("layers"), (list, tuple)):
             # quantized (list-layout) tree: manual shard_map TP around the
-            # Pallas kernels (GSPMD can't partition opaque custom calls)
-            return sh.shard_quant_llama(w, mesh)
+            # Pallas kernels (GSPMD can't partition opaque custom calls);
+            # tp_blocks aligns eligibility with the fixed-topology paths
+            return sh.shard_quant_llama(w, mesh,
+                                        tp_blocks=self.config.tp_blocks)
         if self.config.is_moe:
             from ..models.moe import moe_param_specs
 

@@ -163,3 +163,125 @@ def test_sharded_quantized_session_matches_solo(dtype, tmp_path):
         return out
 
     assert run(None) == run(make_mesh(1, 2))
+
+
+def _quant_session(path, dtype, mesh, tp_blocks, kv_dtype="float32", n=6,
+                   prompt="hello world"):
+    """Run a greedy session, returning (tokens, top-10 logit matrix, preds)."""
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+
+    m = Model(path, ModelParams(dtype=dtype, mesh=mesh, tp_blocks=tp_blocks))
+    inst = Instance(m, InstanceInitParams(ctx_size=64, kv_dtype=kv_dtype,
+                                          fast_greedy=False))
+    s = inst.start_session(SessionInitParams(seed=1, temperature=0.0))
+    s.set_initial_prompt(m.vocab.tokenize(prompt, True, True))
+    preds = s.complete(CompleteParams(max_tokens=n))
+    inst.stop_session()
+    m.close()
+    toks = [p.token for p in preds]
+    mat = np.asarray([[l.logit for l in p.logits] for p in preds], np.float32)
+    ids = [[l.token for l in p.logits] for p in preds]
+    return toks, mat, ids, preds
+
+
+@pytest.fixture(scope="module")
+def quant_gguf(tmp_path_factory):
+    """Geometry sized for tp_blocks=4 quantized K-blocking: every contraction
+    dim is a multiple of 4·256 (E=1024, F=2048) and output widths are
+    256-multiples so n-sharding stays eligible at tp=2."""
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path_factory.mktemp("qp") / "q.gguf")
+    write_tiny_llama(p, GGMLType.Q4_K,
+                     spec=dict(n_layer=2, n_embd=1024, n_ff=2048,
+                               n_head=8, n_head_kv=4))
+    return p
+
+
+@pytest.mark.parametrize("dtype", ["q4k_fused", "q4k_a8"])
+def test_sharded_quantized_bit_exact_with_tp_blocks(dtype, quant_gguf):
+    """The quantized PRODUCTION engines under tp_blocks: solo, tp=2 and tp=4
+    produce BIT-IDENTICAL greedy streams and top-10 logits (VERDICT r1 #1 —
+    extends the dense tp_blocks contract to ShardedQuant; reference anchor:
+    same-backend fillCtx bit-exactness, t-integration.cpp:240-247, elevated
+    to cross-sharding per SURVEY §4 implication (3))."""
+    t1, m1, i1, _ = _quant_session(quant_gguf, dtype, None, 4)
+    t2, m2, i2, _ = _quant_session(quant_gguf, dtype, make_mesh(1, 2), 4)
+    t4, m4, i4, _ = _quant_session(quant_gguf, dtype, make_mesh(1, 4), 4)
+    assert t1 == t2 == t4
+    assert i1 == i2 == i4
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_array_equal(m1, m4)
+
+
+@pytest.mark.parametrize("dtype", ["q4k_fused", "q4k_a8"])
+def test_sharded_quant_prover_solo_verifier_replay(dtype, quant_gguf):
+    """tp=4 quantized prover → solo verifier fillCtx replay: bit-exact top-10
+    (the e-verify.cpp:69-96 scenario on the engines actually served)."""
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import SessionInitParams
+
+    _, _, _, preds = _quant_session(quant_gguf, dtype, make_mesh(1, 4), 4)
+    m = Model(quant_gguf, ModelParams(dtype=dtype, tp_blocks=4))
+    inst = Instance(m, InstanceInitParams(ctx_size=64, fast_greedy=False))
+    s = inst.start_session(SessionInitParams(seed=1, temperature=0.0))
+    s.set_initial_prompt(m.vocab.tokenize("hello world", True, True))
+    replayed = s.fill_ctx(preds)
+    inst.stop_session()
+    m.close()
+    for o, r in zip(preds, replayed):
+        assert [l.token for l in o.logits] == [l.token for l in r.logits]
+        np.testing.assert_array_equal(
+            np.asarray([l.logit for l in o.logits], np.float32),
+            np.asarray([l.logit for l in r.logits], np.float32))
+
+
+def test_sharded_quant_int8_kv_bit_exact(quant_gguf):
+    """tp-sharded quantized engine with INT8 KV: per-(token, head) KV quant
+    commutes with head sharding, so solo and tp=2 stay bit-identical."""
+    t1, m1, i1, _ = _quant_session(quant_gguf, "q4k_a8", None, 4,
+                                   kv_dtype="int8")
+    t2, m2, i2, _ = _quant_session(quant_gguf, "q4k_a8", make_mesh(1, 2), 4,
+                                   kv_dtype="int8")
+    assert t1 == t2
+    assert i1 == i2
+    np.testing.assert_array_equal(m1, m2)
+
+
+def test_moe_ep_sharded_bit_exact_with_tp_blocks(tmp_path):
+    """Dense-mixture MoE under expert sharding: with tp_blocks the per-expert
+    contributions combine through a balanced tree over the EP axis, so solo
+    and EP=2 logits are BIT-IDENTICAL (VERDICT r1 #1, MoE leg). Both sides
+    run moe_ragged=False — the mixture algorithm is part of the engine mode,
+    like the reference's backend split (e-verify.cpp)."""
+    from blama_tpu.testing import write_tiny_moe
+
+    p = str(tmp_path / "moe.gguf")
+    write_tiny_moe(p)
+
+    def run(mesh):
+        from blama_tpu.runtime.instance import Instance, InstanceInitParams
+        from blama_tpu.runtime.model import Model, ModelParams
+        from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+
+        m = Model(p, ModelParams(mesh=mesh, tp_blocks=4, moe_ragged=False))
+        inst = Instance(m, InstanceInitParams(ctx_size=64, fast_greedy=False))
+        s = inst.start_session(SessionInitParams(seed=2, temperature=0.0))
+        s.set_initial_prompt(m.vocab.tokenize("the cat sat", True, True))
+        preds = s.complete(CompleteParams(max_tokens=6))
+        inst.stop_session()
+        m.close()
+        toks = [pr.token for pr in preds]
+        mat = np.asarray([[l.logit for l in pr.logits] for pr in preds], np.float32)
+        ids = [[l.token for l in pr.logits] for pr in preds]
+        return toks, mat, ids
+
+    t1, m1, i1 = run(None)
+    t2, m2, i2 = run(make_mesh(1, 2))
+    assert t1 == t2
+    assert i1 == i2
+    np.testing.assert_array_equal(m1, m2)
