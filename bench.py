@@ -6,16 +6,23 @@ JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Default configuration: Llama-3-8B-geometry Q4_K GGUF — THE BASELINE.json
 headline metric ("tokens/sec/chip at Q4_K 8B") — running via the fused
-Q4_K Pallas kernel (the only way 8B fits a single 16GB v5e chip). Full load
-path (GGUF parse → native repack → upload) + the on-device fused decode
-loop. The reference publishes no throughput numbers (BASELINE.md), so
-vs_baseline is null.
+Q4_K Pallas kernel (the only way 8B fits a single 16GB v5e chip) with the
+fused flash decode/prefill attention kernels enabled. Full load path (GGUF
+parse → native repack → upload) + the on-device fused decode loop. The
+reference publishes no throughput numbers (BASELINE.md), so vs_baseline is
+null.
 
 Env knobs:
   BLAMA_BENCH_PRESET   llama3-8b (default) | tinyllama-1.1b | debug-0.3b
   BLAMA_BENCH_DTYPE    q4k_fused (default for 8B) | bfloat16 | q4k_a8
   BLAMA_BENCH_STEPS    decode steps to time (default 64)
   BLAMA_BENCH_PROMPT   prompt length (default 128)
+  BLAMA_BENCH_FLASH    1 (default) = Pallas fused attention | 0 = XLA chain
+  BLAMA_BENCH_KV       bfloat16 (default) | int8 | float32
+
+`python bench.py matrix` loads the model once and sweeps flash x prompt
+length x KV dtype, printing one line per config (long-context TTFT/decode
+evidence for BENCH_LOCAL.md; VERDICT r1 #3).
 """
 
 from __future__ import annotations
@@ -26,19 +33,17 @@ import sys
 import time
 
 
-def _run(preset, wdtype, n_steps, n_prompt) -> dict:
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _load_model(preset, wdtype):
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache_tpu"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from blama_tpu.gguf import GGMLType
-    from blama_tpu.models.llama import LlamaStatic
-    from blama_tpu.ops.generate_loop import greedy_generate
-    from blama_tpu.ops.kv_cache import KVCache
     from blama_tpu.runtime.model import Model, ModelParams
     from blama_tpu.testing import synthesize_llama_gguf
 
@@ -52,12 +57,32 @@ def _run(preset, wdtype, n_steps, n_prompt) -> dict:
     t0 = time.time()
     model = Model(path, ModelParams(dtype=wdtype))
     load_s = time.time() - t0
-    cfg = model.config
     print(f"# load+dequant+upload: {load_s:.1f}s", file=sys.stderr)
+    return model, load_s
 
+
+def _bench_config(model, n_steps, n_prompt, flash, kv_dtype, reps=3):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blama_tpu.models.llama import LlamaStatic
+    from blama_tpu.ops.generate_loop import greedy_generate
+    from blama_tpu.ops.kv_cache import KVCache
+
+    cfg = model.config
     st = LlamaStatic.of(cfg)
-    S = n_prompt + n_steps + 8
-    cache = KVCache.create(cfg.n_layer, 1, S, cfg.n_head_kv, cfg.head_dim_, jnp.bfloat16)
+    if flash:
+        st = dataclasses.replace(st, attn_fused=True)
+    # cache length rounded so the fused kernels' sequence-block picker always
+    # finds a divisor (silent XLA fallback would invalidate the A/B)
+    S = _round_up(n_prompt + n_steps + 8, 512)
+    kv = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": "int8"}[kv_dtype]
+
+    def fresh_cache():
+        return KVCache.create(cfg.n_layer, 1, S, cfg.n_head_kv, cfg.head_dim_, kv)
 
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(rng.integers(3, cfg.n_vocab - 1, (1, n_prompt)).astype(np.int32))
@@ -65,51 +90,91 @@ def _run(preset, wdtype, n_steps, n_prompt) -> dict:
     # compile + warmup (np.asarray forces a device→host transfer: on the
     # tunneled axon platform block_until_ready alone does not reliably wait)
     t0 = time.time()
-    toks, tid, tval, cache2 = greedy_generate(st, model.weights, prompt, cache, n_prompt, n_steps)
+    toks, tid, tval, _ = greedy_generate(st, model.weights, prompt, fresh_cache(), n_prompt, n_steps)
     np.asarray(toks)
-    print(f"# compile+first-run: {time.time()-t0:.1f}s", file=sys.stderr)
+    compile_s = time.time() - t0
+    print(f"# compile+first-run p={n_prompt} flash={int(flash)} kv={kv_dtype}: "
+          f"{compile_s:.1f}s", file=sys.stderr)
 
     # timed runs (fresh cache each time; prefill included, so this is a
     # conservative decode rate)
     times = []
-    for _ in range(3):
-        cache = KVCache.create(cfg.n_layer, 1, S, cfg.n_head_kv, cfg.head_dim_, jnp.bfloat16)
+    for _ in range(reps):
+        cache = fresh_cache()
         t0 = time.time()
         toks, tid, tval, cache = greedy_generate(st, model.weights, prompt, cache, n_prompt, n_steps)
         np.asarray(toks)
         np.asarray(tval)
         times.append(time.time() - t0)
     best = min(times)
-    tok_s = n_steps / best
 
     # TTFT: prefill + first decode + first-token transfer (p50 of 5)
     ttfts = []
     for _ in range(5):
-        cache = KVCache.create(cfg.n_layer, 1, S, cfg.n_head_kv, cfg.head_dim_, jnp.bfloat16)
+        cache = fresh_cache()
         t0 = time.time()
         toks1, _, _, _ = greedy_generate(st, model.weights, prompt, cache, n_prompt, 1)
         np.asarray(toks1)
         ttfts.append(time.time() - t0)
     ttft_p50 = sorted(ttfts)[len(ttfts) // 2]
+    decode_s = best - ttft_p50  # steady-state decode portion
+    tok_s = n_steps / best
+    tok_s_decode = max(n_steps - 1, 1) / decode_s if decode_s > 0 else tok_s
+    return {
+        "prompt_len": n_prompt,
+        "steps": n_steps,
+        "cache_len": S,
+        "attn": "fused" if flash else "xla",
+        "kv_dtype": kv_dtype,
+        "tok_s_incl_prefill": round(tok_s, 2),
+        "tok_s_decode": round(tok_s_decode, 2),
+        "ttft_p50_s": round(ttft_p50, 4),
+        "best_wall_s": round(best, 4),
+        "all_wall_s": [round(t, 4) for t in times],
+    }
 
-    result = {
+
+def _run(preset, wdtype, n_steps, n_prompt, flash, kv_dtype) -> dict:
+    import jax
+
+    model, load_s = _load_model(preset, wdtype)
+    row = _bench_config(model, n_steps, n_prompt, flash, kv_dtype)
+    return {
         "metric": f"decode_tokens_per_sec_chip_{preset}_{wdtype}",
-        "value": round(tok_s, 2),
+        "value": row["tok_s_incl_prefill"],
         "unit": "tokens/sec/chip",
         "vs_baseline": None,
         "detail": {
             "preset": preset,
-            "prompt_len": n_prompt,
-            "steps": n_steps,
-            "ttft_p50_s": round(ttft_p50, 4),
-            "best_wall_s": round(best, 4),
-            "all_wall_s": [round(t, 4) for t in times],
+            **row,
             "load_s": round(load_s, 1),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },
     }
-    return result
+
+
+def matrix() -> None:
+    """Long-context / engine-mode sweep on one loaded model (BENCH_LOCAL)."""
+    preset = os.environ.get("BLAMA_BENCH_PRESET", "llama3-8b")
+    wdtype = os.environ.get("BLAMA_BENCH_DTYPE",
+                            "q4k_a8" if preset == "llama3-8b" else "bfloat16")
+    model, _ = _load_model(preset, wdtype)
+    configs = json.loads(os.environ.get("BLAMA_BENCH_MATRIX", json.dumps([
+        # [prompt, steps, flash, kv_dtype]
+        [128, 64, False, "bfloat16"],
+        [128, 64, True, "bfloat16"],
+        [2048, 256, False, "bfloat16"],
+        [2048, 256, True, "bfloat16"],
+        [2048, 256, True, "int8"],
+        [8192, 128, True, "int8"],
+    ])))
+    for p, s, fl, kv in configs:
+        try:
+            row = _bench_config(model, s, p, fl, kv)
+            print(json.dumps({"preset": preset, "dtype": wdtype, **row}))
+        except Exception as e:  # keep sweeping
+            print(f"# config p={p} flash={fl} kv={kv} FAILED: {e}", file=sys.stderr)
 
 
 def main() -> None:
@@ -122,16 +187,22 @@ def main() -> None:
     # smaller presets run fastest in bf16.
     default_dtype = "q4k_a8" if preset == "llama3-8b" else "bfloat16"
     wdtype = os.environ.get("BLAMA_BENCH_DTYPE", default_dtype)
+    flash = os.environ.get("BLAMA_BENCH_FLASH", "1") == "1"
+    kv_dtype = os.environ.get("BLAMA_BENCH_KV", "bfloat16")
 
     try:
-        result = _run(preset, wdtype, n_steps, n_prompt)
+        result = _run(preset, wdtype, n_steps, n_prompt, flash, kv_dtype)
     except Exception as e:  # pragma: no cover - fallback for driver runs
         print(f"# primary bench config failed ({type(e).__name__}: {e}); "
-              f"falling back to tinyllama-1.1b bf16", file=sys.stderr)
-        result = _run("tinyllama-1.1b", "bfloat16", n_steps, n_prompt)
+              f"falling back to tinyllama-1.1b bf16 xla-attn", file=sys.stderr)
+        result = _run("tinyllama-1.1b", "bfloat16", n_steps, n_prompt, False,
+                      "bfloat16")
         result["detail"]["fallback_from"] = f"{preset}/{wdtype}"
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "matrix":
+        matrix()
+    else:
+        main()

@@ -309,17 +309,29 @@ def forward(
     # no rotated/dequantized cache copies (ops/pallas/decode_attention.py).
     from ..ops.pallas import decode_attention as dattn
 
-    use_fused_attn = (
+    _fused_ok = (
         getattr(cfg, "attn_fused", False)
-        and tokens.shape[1] == 1
         and interleaved
         and cfg.causal
-        and dattn.supports(cache.n_slots, D, cache.k.dtype)
         # folding the YaRN magnitude scale into the score scale is only exact
         # when every head dim is rotated
         and not (yarn is not None and rope_dim < D)
     )
-    if use_fused_attn:
+    use_fused_attn = (
+        _fused_ok
+        and tokens.shape[1] == 1
+        and dattn.supports(cache.n_slots, D, cache.k.dtype)
+    )
+    # T > 1 chunks (prompt prefill) take the fused flash-prefill kernel: one
+    # streaming pass of the stored cache per chunk instead of the XLA chain's
+    # rotated/dequantized materializations (ops/pallas/decode_attention.py,
+    # prefill section)
+    use_fused_prefill = (
+        _fused_ok
+        and dattn.prefill_supports(tokens.shape[1], cache.n_slots, D,
+                                   cache.k.dtype)
+    )
+    if use_fused_attn or use_fused_prefill:
         inv_freq_e, rope_mscale = dattn.effective_inv_freq(
             rope_dim, D, freq_base, rs, yarn=yarn, freq_factors=ff)
         kv_rope = None
@@ -368,6 +380,11 @@ def forward(
         if use_fused_attn:
             attn = dattn.decode_attention(
                 q, k_l, v_l, positions[:, 0], new_positions, inv_freq_e,
+                k_scale=ks_l, v_scale=vs_l, mscale=rope_mscale,
+            )
+        elif use_fused_prefill:
+            attn = dattn.prefill_attention(
+                q, k_l, v_l, positions, new_positions, inv_freq_e,
                 k_scale=ks_l, v_scale=vs_l, mscale=rope_mscale,
             )
         else:

@@ -278,3 +278,225 @@ def decode_attention(
         interpret=jax.default_backend() == "cpu",
     )
     return out.reshape(B, 1, H, D)
+
+
+# ---------------------------------------------------------------------------
+# Prefill (T > 1) flash attention over the position-mapped KV cache
+# ---------------------------------------------------------------------------
+#
+# The XLA prefill chain materializes a rotated f32 copy of the whole K cache
+# (and f32 dequants of K and V in INT8-KV mode) for EVERY ≤ubatch chunk of
+# the prompt, so a long prompt re-reads the cache with a ~6.5x materialized
+# footprint per chunk (NEXT.md r1 #4 / VERDICT r1 missing #5). This kernel
+# is the T-block generalization of _decode_attn_kernel: one streaming pass
+# of the stored cache per chunk, rope computed in-kernel from the position
+# map, INT8 scales folded into score/probability rows, online softmax over
+# sequence blocks. Causality comes from the position map (kv_pos <= q_pos
+# per query row), so edited maps (ctx-shift, Self-Extend) keep working.
+
+def _prefill_attn_kernel(
+    q_ref,       # [1, BT, H*D] f32/bf16 (rotated, unscaled)
+    k_ref,       # [1, BS, Hkv*D] stored dtype, unrotated
+    v_ref,       # [1, BS, Hkv*D]
+    posr_ref,    # [1, BS] int32 slot positions (row layout, mask)
+    posc_ref,    # [BS, 1] int32 slot positions (column layout, rope angles)
+    qpos_ref,    # [BT, 1] int32 query positions (column layout)
+    invf_ref,    # [1, D] f32 effective inv-freq, interleave-expanded
+    *rest_refs,
+    n_kv_head: int,
+    group: int,
+    head_dim: int,
+    scale: float,
+    quantized: bool,
+):
+    if quantized:
+        ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = rest_refs
+    else:
+        out_ref, acc_ref, m_ref, l_ref = rest_refs
+    ns = pl.program_id(2)
+    num_s = pl.num_programs(2)
+    D = head_dim
+    BT = q_ref.shape[1]
+    g = group
+
+    @pl.when(ns == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # rope angles for this sequence block, shared by all kv heads
+    pos_col = posc_ref[:, 0:1]                              # [BS, 1]
+    theta = pos_col.astype(jnp.float32) * invf_ref[0:1, :]  # [BS, D]
+    cos = jnp.cos(theta)
+    sin = jnp.sin(theta)
+    bs = theta.shape[0]
+    even = jax.lax.broadcasted_iota(jnp.int32, (bs, D), 1) % 2 == 0
+    sin_signed = jnp.where(even, -sin, sin)
+
+    # causal mask by positions: [BT, BS]
+    pos_row = posr_ref[0:1, :]                              # [1, BS]
+    qpos = qpos_ref[:, 0:1]                                 # [BT, 1]
+    mask_bt = (pos_row >= 0) & (pos_row <= qpos)            # [BT, BS]
+    # rows are (t, gi) flattened: repeat each t row over its g head group
+    mask = jnp.broadcast_to(
+        mask_bt[:, None, :], (BT, g, mask_bt.shape[1])).reshape(BT * g, -1)
+
+    for h in range(n_kv_head):
+        r0, r1 = h * BT * g, (h + 1) * BT * g
+        kf = k_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32)   # [BS, D]
+        k_rot = kf * cos + _swap_pairs(kf, even) * sin_signed
+        qh = q_ref[0, :, h * g * D:(h + 1) * g * D].astype(jnp.float32)
+        qh = qh.reshape(BT * g, D)                                # [BT·g, D]
+        scores = jax.lax.dot_general(
+            qh, k_rot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                                  # [BT·g, BS]
+        if quantized:
+            scores = scores * ks_ref[0, h:h + 1, :]               # fold K scale
+        scores = jnp.where(mask, scores, NEG_INF)
+
+        m_prev = m_ref[r0:r1, 0:1]
+        l_prev = l_ref[r0:r1, 0:1]
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        e = jnp.exp(scores - m_new)
+        e = jnp.where(mask, e, 0.0)
+        l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
+        if quantized:
+            e = e * vs_ref[0, h:h + 1, :]                         # fold V scale
+        vf = v_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32)
+        pv = jax.lax.dot_general(
+            e, vf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                          # [BT·g, D]
+        acc_ref[r0:r1, :] = acc_ref[r0:r1, :] * alpha + pv
+        m_ref[r0:r1, :] = jnp.broadcast_to(m_new, (BT * g, m_ref.shape[1]))
+        l_ref[r0:r1, :] = jnp.broadcast_to(l_new, (BT * g, l_ref.shape[1]))
+
+    @pl.when(ns == num_s - 1)
+    def _finalize():
+        # acc rows are (h, t, gi)-ordered; write back per kv-head so row
+        # (t, gi) lands in out columns (h·g+gi)·D .. — the q layout inverse
+        denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
+        for h in range(n_kv_head):
+            r0, r1 = h * BT * g, (h + 1) * BT * g
+            out = (acc_ref[r0:r1, :] / denom[r0:r1]).astype(out_ref.dtype)
+            out_ref[0, :, h * g * D:(h + 1) * g * D] = out.reshape(BT, g * D)
+
+
+def _pick_block_t(T: int) -> int | None:
+    for bt in (128, 64, 32, 16, 8):
+        if T % bt == 0:
+            return bt
+    return None
+
+
+def prefill_supports(T: int, S: int, head_dim: int, k_dtype) -> bool:
+    """Whether the fused prefill kernel can serve this chunk geometry."""
+    item = jnp.dtype(k_dtype).itemsize
+    return (
+        T > 1
+        and _pick_block_t(T) is not None
+        and _pick_block_s(S, item) is not None
+        and head_dim % 2 == 0
+        and head_dim <= 256
+    )
+
+
+@partial(jax.jit, static_argnames=("scale", "interpret"))
+def _prefill_call(q2, k2, v2, kv_pos, kv_pos_t, q_pos_t, inv_freq_e, ks, vs,
+                  scale: float, interpret: bool):
+    B, T, HD = q2.shape
+    D = inv_freq_e.shape[1]
+    H = HD // D
+    S = k2.shape[1]
+    Hkv = k2.shape[2] // D
+    group = H // Hkv
+    block_t = _pick_block_t(T)
+    block_s = _pick_block_s(S, jnp.dtype(k2.dtype).itemsize)
+    grid = (B, T // block_t, S // block_s)
+    quantized = ks is not None
+
+    in_specs = [
+        pl.BlockSpec((1, block_t, HD), lambda b, t, n: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_s, Hkv * D), lambda b, t, n: (b, n, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_s, Hkv * D), lambda b, t, n: (b, n, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_s), lambda b, t, n: (b, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_s, 1), lambda b, t, n: (n, b),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, 1), lambda b, t, n: (t, b),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D), lambda b, t, n: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [q2, k2, v2, kv_pos, kv_pos_t, q_pos_t, inv_freq_e]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, Hkv, block_s), lambda b, t, n: (b, 0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, block_s), lambda b, t, n: (b, 0, n),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [ks, vs]
+
+    kernel = partial(
+        _prefill_attn_kernel,
+        n_kv_head=Hkv, group=group, head_dim=D,
+        scale=scale, quantized=quantized,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_t, HD), lambda b, t, n: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, HD), q2.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_t * H, D), jnp.float32),    # acc
+            pltpu.VMEM((block_t * H, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_t * H, 128), jnp.float32),  # running denom
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def prefill_attention(
+    q: jnp.ndarray,          # [B, T, H, D] rotated queries (prompt chunk)
+    k_cache: jnp.ndarray,    # [B, S, Hkv, D] unrotated (bf16/f32 or int8 codes)
+    v_cache: jnp.ndarray,    # [B, S, Hkv, D]
+    q_pos: jnp.ndarray,      # [B, T] int32
+    kv_pos: jnp.ndarray,     # [B, S] int32, -1 = empty slot
+    inv_freq_e: jnp.ndarray,  # [head_dim] f32 from effective_inv_freq
+    k_scale: jnp.ndarray | None = None,  # [B, S, Hkv] f32 (INT8-KV mode)
+    v_scale: jnp.ndarray | None = None,
+    logit_scale: float | None = None,
+    mscale: float = 1.0,
+) -> jnp.ndarray:
+    """Fused chunked-prefill attention; returns [B, T, H, D] in q.dtype."""
+    B, T, H, D = q.shape
+    S, Hkv = k_cache.shape[1], k_cache.shape[2]
+    scale = (logit_scale if logit_scale is not None else 1.0 / (D ** 0.5)) * mscale
+
+    q2 = q.reshape(B, T, H * D)
+    k2 = k_cache.reshape(B, S, Hkv * D)
+    v2 = v_cache.reshape(B, S, Hkv * D)
+    kv_pos_t = kv_pos.T        # [S, B]
+    q_pos_t = q_pos.T          # [T, B]
+    ks = vs = None
+    if k_scale is not None:
+        ks = jnp.swapaxes(k_scale, 1, 2)  # [B, Hkv, S]
+        vs = jnp.swapaxes(v_scale, 1, 2)
+    out = _prefill_call(
+        q2, k2, v2, kv_pos, kv_pos_t, q_pos_t, inv_freq_e.reshape(1, D),
+        ks, vs, scale=float(scale),
+        interpret=jax.default_backend() == "cpu",
+    )
+    return out.reshape(B, T, H, D)

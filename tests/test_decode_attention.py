@@ -196,13 +196,16 @@ def test_flash_attn_across_context_shift(gguf_path):
     """Fused decode across a context-shift event (infinite_context) produces
     the same greedy stream as the XLA engine — the kernel reads the edited
     position map, not write order (ADVICE r1 #4, session level)."""
+    # short prompt (< 8 tokens) keeps prefill on the shared XLA path, so the
+    # streams compare fused DECODE against XLA decode across the shift (the
+    # fused-prefill engine mode has its own numerics and its own tests)
     def run(flash):
         m = Model(gguf_path, ModelParams(dtype="float32"))
         inst = Instance(m, InstanceInitParams(
             ctx_size=32, flash_attn=flash, fast_greedy=False))
         s = inst.start_session(SessionInitParams(
             seed=3, temperature=0.0, infinite_context=True))
-        s.set_initial_prompt(m.vocab.tokenize("the cat sat on the mat", True, True))
+        s.set_initial_prompt(m.vocab.tokenize("the cat sat", True, True))
         preds = s.complete(CompleteParams(max_tokens=40))  # > ctx 32 → shift
         inst.stop_session()
         m.close()
@@ -220,6 +223,130 @@ def test_flash_attn_replay_bit_exact(gguf_path):
         ctx_size=64, flash_attn=True, kv_dtype="int8"))
     s = inst.start_session(SessionInitParams(seed=7, temperature=0.0))
     s.set_initial_prompt(m.vocab.tokenize("the cat sat", True, True))
+    replayed = s.fill_ctx(preds)
+    inst.stop_session()
+    m.close()
+    for o, r in zip(preds, replayed):
+        assert [l.token for l in o.logits] == [l.token for l in r.logits]
+        np.testing.assert_array_equal(
+            np.asarray([l.logit for l in o.logits], np.float32),
+            np.asarray([l.logit for l in r.logits], np.float32))
+
+
+# --- fused prefill (T > 1) ---------------------------------------------------
+
+def _setup_prefill(B=2, T=16, H=8, Hkv=2, D=64, S=128, rope_dim=None,
+                   fb=10000.0, seed=10, prior=20):
+    """Chunk of T queries arriving after `prior` cached tokens."""
+    from blama_tpu.ops.pallas.decode_attention import prefill_attention
+
+    rope_dim = D if rope_dim is None else rope_dim
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    kv_pos = np.full((B, S), -1, np.int32)
+    kv_pos[:, :prior + T] = np.arange(prior + T)
+    q_pos = np.tile(np.arange(prior, prior + T, dtype=np.int32), (B, 1))
+    q_pos = jnp.asarray(q_pos, jnp.int32)
+    kv_pos = jnp.asarray(kv_pos)
+    qr = apply_rope(q, q_pos, rope_dim, fb, True,
+                    cos_sin=rope_angles(q_pos, rope_dim, fb))
+    return qr, k, v, q_pos, kv_pos, rope_dim, fb
+
+
+def test_prefill_matches_xla_float32():
+    from blama_tpu.ops.pallas.decode_attention import prefill_attention
+
+    qr, k, v, q_pos, kv_pos, rd, fb = _setup_prefill()
+    ref = attention(qr, k, v, q_pos, kv_pos, rd, fb)
+    invf, ms = effective_inv_freq(rd, qr.shape[-1], fb)
+    out = prefill_attention(qr, k, v, q_pos, kv_pos, invf, mscale=ms)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6)
+
+
+def test_prefill_matches_xla_int8_kv():
+    from blama_tpu.ops.pallas.decode_attention import prefill_attention
+
+    qr, k, v, q_pos, kv_pos, rd, fb = _setup_prefill(seed=11)
+    kc, ks = quantize_kv(k)
+    vc, vs = quantize_kv(v)
+    ref = attention(qr, dequantize_kv(kc, ks), dequantize_kv(vc, vs),
+                    q_pos, kv_pos, rd, fb)
+    invf, ms = effective_inv_freq(rd, qr.shape[-1], fb)
+    out = prefill_attention(qr, kc, vc, q_pos, kv_pos, invf,
+                            k_scale=ks, v_scale=vs, mscale=ms)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6)
+
+
+def test_prefill_matches_xla_bf16_partial_rope():
+    from blama_tpu.ops.pallas.decode_attention import prefill_attention
+
+    qr, k, v, q_pos, kv_pos, rd, fb = _setup_prefill(rope_dim=32, seed=12)
+    qb, kb, vb = (a.astype(jnp.bfloat16) for a in (qr, k, v))
+    ref = attention(qb, kb, vb, q_pos, kv_pos, rd, fb)
+    invf, ms = effective_inv_freq(rd, qr.shape[-1], fb)
+    out = prefill_attention(qb, kb, vb, q_pos, kv_pos, invf, mscale=ms)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2)
+
+
+def test_prefill_causality_within_chunk():
+    """Every query must see exactly its own prefix: compare against per-row
+    decode_attention on a cache truncated to that row's visible set."""
+    from blama_tpu.ops.pallas.decode_attention import (
+        decode_attention, prefill_attention,
+    )
+
+    qr, k, v, q_pos, kv_pos, rd, fb = _setup_prefill(B=1, T=8, prior=4, seed=13)
+    invf, ms = effective_inv_freq(rd, qr.shape[-1], fb)
+    out = prefill_attention(qr, k, v, q_pos, kv_pos, invf, mscale=ms)
+    for t in range(8):
+        # mask cache slots beyond this query's position
+        pos_t = np.asarray(kv_pos).copy()
+        pos_t[pos_t > int(q_pos[0, t])] = -1
+        one = decode_attention(
+            qr[:, t:t + 1], k, v, q_pos[:, t], jnp.asarray(pos_t), invf,
+            mscale=ms)
+        np.testing.assert_allclose(
+            np.asarray(out[:, t:t + 1]), np.asarray(one), atol=3e-6)
+
+
+def test_prefill_supports_gate():
+    from blama_tpu.ops.pallas.decode_attention import prefill_supports
+
+    assert prefill_supports(16, 128, 64, jnp.float32)
+    assert not prefill_supports(1, 128, 64, jnp.float32)    # decode path
+    assert not prefill_supports(7, 128, 64, jnp.float32)    # no T block
+    assert not prefill_supports(16, 31, 64, jnp.float32)    # no S block
+
+
+def test_fused_prefill_session_matches_xla_engine(gguf_path):
+    """flash_attn sessions with multi-token prompts (fused prefill + fused
+    decode) produce the same greedy stream as the XLA engine, and replay
+    bit-exactly against themselves with INT8 KV."""
+    long_prompt = "the cat sat on the mat and the dog ran over the hill"
+
+    def run(flash, kv="float32"):
+        m = Model(gguf_path, ModelParams(dtype="float32"))
+        inst = Instance(m, InstanceInitParams(
+            ctx_size=64, flash_attn=flash, kv_dtype=kv, fast_greedy=False))
+        s = inst.start_session(SessionInitParams(seed=5, temperature=0.0))
+        s.set_initial_prompt(m.vocab.tokenize(long_prompt, True, True))
+        preds = s.complete(CompleteParams(max_tokens=8))
+        inst.stop_session()
+        m.close()
+        return preds
+
+    base, fused = run(False), run(True)
+    assert [p.token for p in base] == [p.token for p in fused]
+
+    preds = run(True, kv="int8")
+    m = Model(gguf_path, ModelParams(dtype="float32"))
+    inst = Instance(m, InstanceInitParams(
+        ctx_size=64, flash_attn=True, kv_dtype="int8", fast_greedy=False))
+    s = inst.start_session(SessionInitParams(seed=5, temperature=0.0))
+    s.set_initial_prompt(m.vocab.tokenize(long_prompt, True, True))
     replayed = s.fill_ctx(preds)
     inst.stop_session()
     m.close()
