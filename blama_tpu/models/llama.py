@@ -497,3 +497,113 @@ def make_step_fn(cfg: ModelConfig):
         return _llama_step(st, params, tokens, positions, slots, cache, logits_index)
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# sequence-parallel (ring) prefill
+# ---------------------------------------------------------------------------
+
+def ring_forward(
+    params: dict[str, Any],
+    cfg: ModelConfig | LlamaStatic,
+    tokens: jnp.ndarray,       # [B, T] int32, T sharded over mesh axis "sp"
+    positions: jnp.ndarray,    # [B, T] int32 (pad rows may hold anything)
+    kv_prompt_pos: jnp.ndarray,  # [B, T] int32, -1 on pads (ring mask)
+    slots: jnp.ndarray,        # [B, T] int32; >= n_slots → dropped (pads)
+    cache: KVCache,
+    logits_index: jnp.ndarray,  # [B] global index of the last real token
+    mesh,
+) -> tuple[jnp.ndarray, KVCache]:
+    """Whole-prompt prefill with the SEQUENCE dim sharded over an `sp` ring.
+
+    The single-chip upgrade path for prompts larger than one chip
+    (SURVEY.md §2.3 SP row; the reference's only long-context tools are
+    single-device position edits, Session.cpp:324-368). Everything except
+    attention is embarrassingly parallel over T (GSPMD row-parallelism);
+    attention runs ops/ring_attention.py — K/V blocks rotate around the ring
+    via ppermute while Q stays resident. The cache is written exactly like
+    forward() (unrotated K, slot-scatter), so decode continues on the normal
+    engines afterwards.
+
+    Dense (non-quantized) weight trees only; float KV cache only. Ring
+    prefill is its own engine mode for verification (online-softmax
+    numerics; prover/verifier must both use it, like flash attention).
+    """
+    from ..ops.ring_attention import ring_attention
+
+    H, Hkv, D = cfg.n_head, cfg.n_head_kv, cfg.head_dim
+    rope_dim, freq_base = cfg.rope_dim, cfg.freq_base
+
+    x = emb_lookup(params["tok_emb"], tokens)
+    if cfg.emb_scale != 1.0:
+        x = x * jnp.asarray(cfg.emb_scale, x.dtype)
+    new_positions = jax.vmap(
+        lambda p, s, q: p.at[s].set(q, mode="drop")
+    )(cache.positions, slots, positions)
+
+    act = _act(cfg.act_fn)
+    eps = cfg.rms_eps
+
+    def norm(h, w):
+        return rms_norm(h, w + 1.0 if cfg.norm_plus_one else w, eps)
+
+    rs = getattr(cfg, "rope_scale", 1.0)
+    yarn = getattr(cfg, "yarn", None)
+    ff = params.get("rope_freqs")
+    rope = rope_angles(positions, rope_dim, freq_base, rs, yarn=yarn,
+                       freq_factors=ff)
+
+    def layer_fn(x, scanned):
+        p, k_l, v_l = scanned
+        B, T, E = x.shape
+        h = norm(x, p["attn_norm"])
+        q = h @ p["wq"]
+        k = h @ p["wk"]
+        v = h @ p["wv"]
+        if "bq" in p:
+            q = q + p["bq"]
+            k = k + p["bk"]
+            v = v + p["bv"]
+        q = q.reshape(B, T, H, D)
+        k = k.reshape(B, T, Hkv, D)
+        v = v.reshape(B, T, Hkv, D)
+        q_rot = apply_rope(q, positions, rope_dim, freq_base, True, cos_sin=rope)
+        k_rot = apply_rope(k, positions, rope_dim, freq_base, True, cos_sin=rope)
+
+        # cache stores UNROTATED K (rotate-on-read design, ops/attention.py)
+        write = jax.vmap(lambda c, s, n: c.at[s].set(n, mode="drop"))
+        k_l = write(k_l, slots, k)
+        v_l = write(v_l, slots, v)
+
+        attn = ring_attention(q_rot, k_rot, v, positions, kv_prompt_pos,
+                              mesh, axis="sp", causal=cfg.causal)
+        x = x + attn.reshape(B, T, H * D) @ p["wo"]
+
+        h2 = norm(x, p["ffn_norm"])
+        x = x + (act(h2 @ p["w_gate"]) * (h2 @ p["w_up"])) @ p["w_down"]
+        if "cvec" in p:
+            x = x + p["cvec"]
+        return x, (k_l, v_l)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        layer_fn, x, (params["layers"], cache.k, cache.v))
+
+    last_h = jax.vmap(lambda xb, i: xb[i])(x, logits_index)
+    last_h = norm(last_h, params["out_norm"])
+    logits = jnp.dot(last_h.astype(params["output"].dtype), params["output"],
+                     preferred_element_type=jnp.float32)
+    logits = logits[..., : params["tok_emb"].shape[0]]
+    return logits, KVCache(k_new, v_new, new_positions)
+
+
+def make_ring_prefill_fn(cfg: ModelConfig, mesh):
+    """Jitted ring-prefill step bound to an `sp` mesh."""
+    st = LlamaStatic.of(cfg)
+
+    @partial(jax.jit, static_argnums=(), donate_argnums=(5,))
+    def step(params, tokens, positions, kv_prompt_pos, slots, cache,
+             logits_index):
+        return ring_forward(params, st, tokens, positions, kv_prompt_pos,
+                            slots, cache, logits_index, mesh)
+
+    return step

@@ -94,6 +94,21 @@ def unpack_q4k_arrays(data: np.ndarray, n_rows: int, row_len: int):
     return codes, scales, mins
 
 
+def _widen_lanes(*arrs):
+    """Pad the lane (N) dim of repacked arrays to a 4096 multiple when wide.
+
+    The kernels' lane block is min(block_n, N_pad) reduced to a divisor of
+    N_pad; a width aligned only to 256 (e.g. a 128256-vocab head) degrades
+    the block to 256 lanes — measured 324 → 736 GB/s on the 8B lm head by
+    padding to 4096. Zero-padded scales/ddm dequantize to exact 0, so
+    outputs are unchanged before the n_out slice."""
+    N = arrs[0].shape[1]
+    if N <= 4096 or N % 4096 == 0:
+        return arrs
+    pad = -(-N // 4096) * 4096 - N
+    return tuple(np.pad(np.asarray(a), ((0, 0), (0, pad))) for a in arrs)
+
+
 def repack_q4k_for_tpu(data: np.ndarray, n_rows: int, row_len: int) -> QuantTensor:
     """GGUF Q4_K tensor bytes → TPU-layout QuantTensor (transposed to K-major)."""
     from ... import native
@@ -101,6 +116,7 @@ def repack_q4k_for_tpu(data: np.ndarray, n_rows: int, row_len: int) -> QuantTens
     fast = native.native_repack_q4k(data, n_rows, row_len)
     if fast is not None:
         codes_packed, scales, mins, _ = fast
+        codes_packed, scales, mins = _widen_lanes(codes_packed, scales, mins)
         return QuantTensor(
             jnp.asarray(codes_packed), jnp.asarray(scales), jnp.asarray(mins),
             n_out=n_rows,
@@ -120,6 +136,7 @@ def repack_q4k_for_tpu(data: np.ndarray, n_rows: int, row_len: int) -> QuantTens
     # pair rows (j, j + KT/2) within each KT tile into one byte
     ct = codes.reshape(K // KT, 2, KT // 2, N)
     packed = (ct[:, 0] | (ct[:, 1] << 4)).reshape(K // 2, N)
+    packed, scales, mins = _widen_lanes(packed, scales, mins)
     return QuantTensor(
         jnp.asarray(packed),
         jnp.asarray(scales),  # f32: bitwise parity with the host dequant path
@@ -709,6 +726,7 @@ def repack_q4k_native(data: np.ndarray, n_rows: int, row_len: int) -> QuantTenso
     fast = native.native_repack_q4k_native(data, n_rows, row_len)
     if fast is not None:
         codes_packed, ddm, scmn, _ = fast
+        codes_packed, ddm, scmn = _widen_lanes(codes_packed, ddm, scmn)
         return QuantTensorK4(
             jnp.asarray(codes_packed), jnp.asarray(ddm), jnp.asarray(scmn),
             n_out=n_rows,
@@ -739,6 +757,7 @@ def repack_q4k_native(data: np.ndarray, n_rows: int, row_len: int) -> QuantTenso
         scmn = np.pad(scmn, ((0, 0), (0, n_pad)))
     ct = codes.reshape(K // KT, 2, KT // 2, codes.shape[1])
     packed = (ct[:, 0] | (ct[:, 1] << 4)).reshape(K // 2, codes.shape[1])
+    packed, ddm, scmn = _widen_lanes(packed, ddm, scmn)
     return QuantTensorK4(jnp.asarray(packed), jnp.asarray(ddm),
                          jnp.asarray(scmn), n_out=n_rows)
 

@@ -42,6 +42,13 @@ class InstanceInitParams:
     flash_attn: bool = False     # Pallas fused attention (ops/pallas)
     kv_dtype: str = "float32"    # float32 | bfloat16 | int8 (quantized KV)
     fast_greedy: bool = True     # device-loop fast path for eligible complete()
+    # Sequence-parallel (ring) prefill: initial prompts of >= ring_min_prompt
+    # tokens run through models.llama.ring_forward over ring_mesh's "sp"
+    # axis (K/V blocks rotate via ppermute). Dense llama-family weights and
+    # float KV only; its own engine mode for verification (SURVEY.md §2.3
+    # SP row / §5.7).
+    ring_mesh: object = None     # jax Mesh with an "sp" axis; None = off
+    ring_min_prompt: int = 32
 
 
 class Instance:
@@ -142,6 +149,24 @@ class Instance:
             self._step = step
         else:
             raise NotImplementedError(cfg.arch)
+
+        self._ring_step = None
+        if self.params.ring_mesh is not None:
+            import logging
+
+            dense = not isinstance(self.model.weights.get("layers"), (list, tuple))
+            if (cfg.arch in ("llama", "mistral", "qwen2", "gemma", "gemma2",
+                             "phi3")
+                    and not cfg.is_moe and dense
+                    and self.params.kv_dtype != "int8" and mesh is None):
+                from ..models.llama import make_ring_prefill_fn
+
+                self._ring_step = make_ring_prefill_fn(cfg, self.params.ring_mesh)
+            else:
+                logging.getLogger("blama_tpu").warning(
+                    "ring_mesh requested but unsupported for this "
+                    "configuration (needs a dense llama-family model, float "
+                    "KV, no tp mesh); using chunked prefill")
 
         self._session: Session | None = None
         self._loras: list = []
@@ -284,6 +309,38 @@ class Instance:
             jnp.asarray(slot_pad),
             self.cache,
             jnp.asarray(logits_index),
+        )
+        return np.asarray(logits[0]).astype(np.float32)
+
+    @property
+    def ring_enabled(self) -> bool:
+        return self._ring_step is not None
+
+    def ring_prefill(self, tokens: list[int], positions: np.ndarray) -> np.ndarray:
+        """Whole-prompt sequence-parallel prefill over the sp ring; returns
+        the last real token's full-vocab logits (host f32). The cache ends
+        in the same state layout as chunked prefill (unrotated K at the same
+        slots), so decode continues on the normal engines."""
+        n = len(tokens)
+        sp = self.params.ring_mesh.shape["sp"]
+        T = _bucket(-(-n // sp), 1 << 30) * sp  # pow2 per-device block × sp
+        slots = self.allocator.allocate(n)
+        self.allocator.record(slots, positions)
+
+        tok_pad = np.zeros((1, T), np.int32)
+        tok_pad[0, :n] = tokens
+        pos_pad = np.zeros((1, T), np.int32)
+        pos_pad[0, :n] = positions
+        kvp_pad = np.full((1, T), -1, np.int32)  # pads masked out of the ring
+        kvp_pad[0, :n] = positions
+        slot_pad = np.full((1, T), self.ctx_len, np.int32)
+        slot_pad[0, :n] = slots
+        logits_index = np.array([n - 1], np.int32)
+
+        logits, self.cache = self._ring_step(
+            self.model.weights,
+            jnp.asarray(tok_pad), jnp.asarray(pos_pad), jnp.asarray(kvp_pad),
+            jnp.asarray(slot_pad), self.cache, jnp.asarray(logits_index),
         )
         return np.asarray(logits[0]).astype(np.float32)
 

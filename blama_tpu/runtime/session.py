@@ -456,6 +456,16 @@ class Session:
         for t in tokens:
             self._sampler.accept(t, accept_grammar=generated)
 
+        # sequence-parallel prefill: the whole initial prompt streams through
+        # the sp ring in one step (models.llama.ring_forward) instead of
+        # chunked decode — prompts larger than one chip (SURVEY.md §2.3 SP)
+        if (inst.ring_enabled and self._num_past == 0 and not generated
+                and len(tokens) >= inst.params.ring_min_prompt):
+            positions = np.arange(len(tokens), dtype=np.int64)
+            self._last_logits = inst.ring_prefill(tokens, positions)
+            self._num_past = len(tokens)
+            return
+
         # decode in ≤ batch_size chunks (Session.cpp:380-392)
         bs = inst.batch_size
         off = 0

@@ -71,3 +71,85 @@ def test_ring_row_with_no_valid_keys_is_zero():
     kv_pos = jnp.full((B, T), -1, jnp.int32)  # nothing valid
     out = ring_attention(q, k, v, q_pos, kv_pos, make_mesh_sp(2))
     np.testing.assert_array_equal(np.asarray(out), np.zeros_like(out))
+
+
+def test_ring_prefill_session_matches_single_device(tmp_path):
+    """A ring-prefilled session (whole prompt over an sp=8 ring through the
+    REAL forward, not the raw op) produces prefill logits matching chunked
+    single-device prefill to f32 tolerance, and the same greedy continuation
+    (VERDICT r1 #5: SP integrated into the serving path)."""
+    from jax.sharding import Mesh
+
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "ring.gguf")
+    write_tiny_llama(p, GGMLType.F32)
+    prompt = ("the cat sat on the mat and the dog ran over the hill while "
+              "birds flew south for the winter and fish swam in the river")
+
+    def run(ring_mesh):
+        m = Model(p, ModelParams(dtype="float32"))
+        inst = Instance(m, InstanceInitParams(
+            ctx_size=128, fast_greedy=False,
+            ring_mesh=ring_mesh, ring_min_prompt=16))
+        if ring_mesh is not None:
+            assert inst.ring_enabled
+        s = inst.start_session(SessionInitParams(seed=11, temperature=0.0))
+        s.set_initial_prompt(m.vocab.tokenize(prompt, True, True))
+        prefill_logits = np.asarray(s._last_logits, np.float32)
+        preds = s.complete(CompleteParams(max_tokens=8))
+        inst.stop_session()
+        m.close()
+        return prefill_logits, [pr.token for pr in preds]
+
+    base_logits, base_toks = run(None)
+    sp_mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+    ring_logits, ring_toks = run(sp_mesh)
+    np.testing.assert_allclose(ring_logits, base_logits, rtol=2e-4, atol=2e-4)
+    assert ring_toks == base_toks
+
+
+def test_ring_prefill_replay_consistency(tmp_path):
+    """Ring prefill is an engine mode: a ring-prefilled prover replayed by a
+    ring-prefilled verifier is bit-exact (fillCtx contract within the mode)."""
+    from jax.sharding import Mesh
+
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "ringv.gguf")
+    write_tiny_llama(p, GGMLType.F32)
+    prompt = ("a long prompt with plenty of words so that the ring prefill "
+              "path engages for this verification scenario too")
+    sp_mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+
+    m = Model(p, ModelParams(dtype="float32"))
+
+    def make():
+        inst = Instance(m, InstanceInitParams(
+            ctx_size=128, fast_greedy=False,
+            ring_mesh=sp_mesh, ring_min_prompt=16))
+        s = inst.start_session(SessionInitParams(seed=3, temperature=0.0))
+        s.set_initial_prompt(m.vocab.tokenize(prompt, True, True))
+        return inst, s
+
+    inst, s = make()
+    preds = s.complete(CompleteParams(max_tokens=6))
+    inst.stop_session()
+
+    inst2, s2 = make()
+    replayed = s2.fill_ctx(preds)
+    inst2.stop_session()
+    m.close()
+    for o, r in zip(preds, replayed):
+        assert [l.token for l in o.logits] == [l.token for l in r.logits]
+        np.testing.assert_array_equal(
+            np.asarray([l.logit for l in o.logits], np.float32),
+            np.asarray([l.logit for l in r.logits], np.float32))
