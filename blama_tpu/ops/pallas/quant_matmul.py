@@ -170,7 +170,7 @@ def _q4k_block_body(x_ref, codes_ref, scales_ref) -> jnp.ndarray:
 
 
 def _q4k_matmul_kernel(x_ref, codes_ref, scales_ref, out_ref):
-    k = pl.program_id(1)
+    k = pl.program_id(2)
     partial_out = _q4k_block_body(x_ref, codes_ref, scales_ref)
 
     @pl.when(k == 0)
@@ -180,6 +180,15 @@ def _q4k_matmul_kernel(x_ref, codes_ref, scales_ref, out_ref):
     @pl.when(k != 0)
     def _():
         out_ref[:] = out_ref[:] + partial_out
+
+
+def _pick_block_m(M: int, cap: int = 256) -> int:
+    """Largest power-of-2 row block <= cap dividing M (prefill batches can be
+    thousands of rows; one monolithic x block would blow scoped VMEM)."""
+    bm = 1
+    while bm * 2 <= cap and M % (bm * 2) == 0:
+        bm *= 2
+    return bm
 
 
 def _q4k_pos(x: jnp.ndarray, w: QuantTensor, block_n: int) -> jnp.ndarray:
@@ -192,24 +201,26 @@ def _q4k_pos(x: jnp.ndarray, w: QuantTensor, block_n: int) -> jnp.ndarray:
         bn //= 2
     kb = KB if K % (KB * KT) == 0 else 1
     kt_blk = kb * KT
-    grid = (N // bn, K // kt_blk)
+    bm = _pick_block_m(B)
+    grid = (B // bm, N // bn, K // kt_blk)
 
     return pl.pallas_call(
         _q4k_matmul_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, kt_blk), lambda n, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt_blk // 2, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt_blk // GROUP, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, kt_blk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt_blk // 2, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt_blk // GROUP, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, bn), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * K * N,
-            bytes_accessed=K * N // 2 + K * N // 4 + B * K * 4 + B * N * 4,
+            bytes_accessed=(B // bm) * (K * N // 2 + K * N // 4)
+            + B * K * 4 + B * N * 4,
             transcendentals=0,
         ),
         interpret=jax.default_backend() == "cpu",
@@ -217,7 +228,7 @@ def _q4k_pos(x: jnp.ndarray, w: QuantTensor, block_n: int) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnums=(2,))
-def q4k_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 4096) -> jnp.ndarray:
+def q4k_matmul(x: jnp.ndarray, w: QuantTensor, block_n: int = 2048) -> jnp.ndarray:
     """x [B, K] @ packed W [K, N] → [B, N] f32."""
     B, K = x.shape
     pos = _q4k_pos(x, w, block_n)
@@ -770,7 +781,7 @@ def _f16_bits_to_f32(h: jnp.ndarray) -> jnp.ndarray:
 
 
 def _q4k_native_kernel(xg_ref, x_ref, codes_ref, ddm_ref, scmn_ref, out_ref):
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     dd = ddm_ref[:]                                   # i32 [kb, nt]
     d = _f16_bits_to_f32(dd & 0xFFFF)                 # f32 [kb, nt]
@@ -817,7 +828,7 @@ def _q4k_native_kernel(xg_ref, x_ref, codes_ref, ddm_ref, scmn_ref, out_ref):
 
 
 @partial(jax.jit, static_argnums=(2,))
-def q4k_native_matmul(x: jnp.ndarray, w: QuantTensorK4, block_n: int = 4096) -> jnp.ndarray:
+def q4k_native_matmul(x: jnp.ndarray, w: QuantTensorK4, block_n: int = 2048) -> jnp.ndarray:
     """x [B, K] @ native-layout W [K, N] → [B, N] f32."""
     B, K = x.shape
     K2, N = w.codes.shape
@@ -827,7 +838,8 @@ def q4k_native_matmul(x: jnp.ndarray, w: QuantTensorK4, block_n: int = 4096) -> 
         bn //= 2
     kb = KB if K % (KB * KT) == 0 else 1
     kt_blk = kb * KT
-    grid = (N // bn, K // kt_blk)
+    bm = _pick_block_m(B)
+    grid = (B // bm, N // bn, K // kt_blk)
     xf = x.astype(jnp.float32)
     xg = jnp.sum(xf.reshape(B, K // GROUP, GROUP), axis=-1).T  # [K/32, B]
 
@@ -835,16 +847,16 @@ def q4k_native_matmul(x: jnp.ndarray, w: QuantTensorK4, block_n: int = 4096) -> 
         _q4k_native_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((kt_blk // GROUP, B), lambda n, k: (k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, kt_blk), lambda n, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt_blk // 2, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt_blk // KT, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * kt_blk // KT, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt_blk // GROUP, bm), lambda m, n, k: (k, m), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, kt_blk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt_blk // 2, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt_blk // KT, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * kt_blk // KT, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, bn), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * K * N,

@@ -1,23 +1,44 @@
-"""Multi-host SPMD bootstrap.
+"""Multi-host SPMD serving: host 0 owns HTTP + sampling, followers mirror.
 
 The reference is strictly single-process (SURVEY.md §5.8); multi-host serving
-is new north-star territory: host 0 owns HTTP + sampling, all hosts execute
-the same jitted SPMD step over a global mesh, with ICI collectives inside a
-slice and DCN across hosts (inserted by GSPMD from the sharding specs in
-parallel/sharding.py).
+is new north-star territory. The execution model:
 
-This module is the bootstrap scaffold: `initialize()` wires jax.distributed
-from standard TPU environment variables, `global_mesh()` builds the
-(dp, tp) mesh over all global devices. The driver validates the sharded step
-via __graft_entry__.dryrun_multichip on a virtual device mesh; real multi-host
-topologies use exactly the same code path with jax.distributed initialized.
+  * every process initializes jax.distributed and holds a shard of the
+    global (dp, tp) mesh; jitted steps are SPMD — ALL processes must enter
+    the same computation with the same global shapes,
+  * host 0 runs the host-side state machines (Session, Sampler, HTTP) and
+    BROADCASTS each engine call (decode chunk / KV edit / clear) over DCN
+    before executing it, so followers replay the identical call sequence
+    (`HostLoop`, an Instance proxy),
+  * followers sit in `follow()` consuming broadcasts until OP_STOP.
+
+Failure policy (SURVEY.md §5.3 — the reference imposes nothing): an engine
+step that raises on host 0 is followed by an OP_CLEAR broadcast, so every
+host's KV cache resets to a consistent empty state; the in-flight request
+gets the error surfaced (HTTP 500 at the edge) and the server stays up.
+In-flight generation state is lost — callers needing checkpoint/resume
+across failures use the Session state snapshot (Session.cpp:284-310 analog).
+
+`initialize()` wires jax.distributed (TPU env autodetection or explicit
+localhost coordination for tests); `global_mesh()` builds the (dp, tp) mesh
+over all global devices. tests/test_multihost.py exercises one full
+complete + verify round trip across 2 localhost CPU processes.
 """
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 
 from .mesh import make_mesh
+
+OP_DECODE = 1
+OP_CLEAR = 2
+OP_STOP = 3
+OP_SEQ_RM = 4
+OP_SEQ_ADD = 5
+OP_SEQ_DIV = 6
 
 
 def initialize(coordinator_address: str | None = None,
@@ -39,3 +60,130 @@ def global_mesh(dp: int = 1, tp: int | None = None):
 def is_primary() -> bool:
     """True on the host that should own HTTP + sampling (host 0)."""
     return jax.process_index() == 0
+
+
+class HostLoop:
+    """Host-0-drives-followers engine-call protocol: an Instance proxy.
+
+    On host 0, engine calls that touch device state (decode, KV edits,
+    clear) are broadcast (fixed-size int32 frame via multihost_utils, riding
+    DCN) before executing, so every process enters the same jitted SPMD
+    steps with identical global arguments and the sharded cache stays
+    consistent. Followers replay the stream in `follow()`. Everything else
+    (metadata, vocab, model) delegates to the wrapped Instance.
+
+    The device-loop fast path is disabled (its fused scan isn't in the
+    broadcast protocol), so Sessions built through `start_session` always
+    take the step-by-step engine calls that followers can mirror.
+    """
+
+    def __init__(self, instance, max_chunk: int = 512):
+        self.instance = instance
+        instance.params.fast_greedy = False
+        self.max_chunk = max_chunk
+        self._primary = is_primary()
+
+    def __getattr__(self, name):
+        return getattr(self.instance, name)
+
+    # -- broadcast plumbing ----------------------------------------------------
+
+    def _bcast(self, op: int, args=(0, 0, 0), tokens=None, positions=None) -> np.ndarray:
+        from jax.experimental import multihost_utils
+
+        buf = np.zeros(5 + 2 * self.max_chunk, np.int64)
+        buf[0] = op
+        buf[2:5] = args
+        if tokens is not None:
+            n = len(tokens)
+            assert n <= self.max_chunk
+            buf[1] = n
+            buf[5: 5 + n] = tokens
+            buf[5 + self.max_chunk: 5 + self.max_chunk + n] = positions
+        return np.asarray(multihost_utils.broadcast_one_to_all(buf))
+
+    # -- host-0 Instance API ----------------------------------------------------
+
+    def start_session(self, params=None):
+        """Start a Session bound to THIS proxy (not the raw instance), so
+        every engine call the session makes is broadcast to followers."""
+        assert self._primary, "Sessions run on host 0 only"
+        from ..runtime.session import Session
+
+        if self.instance._session is not None:
+            raise RuntimeError("Another session is currently active")
+        session = Session(self, params)
+        self.instance._session = session
+        return session
+
+    def decode(self, tokens: list[int], positions: np.ndarray) -> np.ndarray:
+        assert self._primary
+        out = None
+        off = 0
+        while off < len(tokens):  # respect the broadcast frame bound
+            chunk = tokens[off: off + self.max_chunk]
+            pos = positions[off: off + self.max_chunk]
+            self._bcast(OP_DECODE, tokens=chunk, positions=pos)
+            try:
+                out = self.instance.decode(chunk, pos)
+            except Exception:
+                # failure policy: resynchronize every host to an empty cache,
+                # then surface the error to the serving layer (HTTP 500)
+                self.clear_cache()
+                raise
+            off += len(chunk)
+        return out
+
+    def clear_cache(self) -> None:
+        assert self._primary
+        self._bcast(OP_CLEAR)
+        self.instance.clear_cache()
+
+    def kv_seq_rm(self, p0: int, p1: int) -> None:
+        assert self._primary
+        self._bcast(OP_SEQ_RM, args=(p0, p1, 0))
+        self.instance.kv_seq_rm(p0, p1)
+
+    def kv_seq_add(self, p0: int, p1: int, delta: int) -> None:
+        assert self._primary
+        self._bcast(OP_SEQ_ADD, args=(p0, p1, delta))
+        self.instance.kv_seq_add(p0, p1, delta)
+
+    def kv_seq_div(self, p0: int, p1: int, divisor: int) -> None:
+        assert self._primary
+        self._bcast(OP_SEQ_DIV, args=(p0, p1, divisor))
+        self.instance.kv_seq_div(p0, p1, divisor)
+
+    def stop(self) -> None:
+        assert self._primary
+        self._bcast(OP_STOP)
+
+    # -- follower loop ------------------------------------------------------------
+
+    def follow(self) -> None:
+        """Replay host 0's engine calls until OP_STOP (non-primary hosts)."""
+        assert not self._primary
+        inst = self.instance
+        while True:
+            buf = self._bcast(0)
+            op = int(buf[0])
+            if op == OP_STOP:
+                return
+            if op == OP_CLEAR:
+                inst.clear_cache()
+            elif op == OP_SEQ_RM:
+                inst.kv_seq_rm(int(buf[2]), int(buf[3]))
+            elif op == OP_SEQ_ADD:
+                inst.kv_seq_add(int(buf[2]), int(buf[3]), int(buf[4]))
+            elif op == OP_SEQ_DIV:
+                inst.kv_seq_div(int(buf[2]), int(buf[3]), int(buf[4]))
+            elif op == OP_DECODE:
+                n = int(buf[1])
+                tokens = buf[5: 5 + n].tolist()
+                positions = buf[5 + self.max_chunk: 5 + self.max_chunk + n]
+                try:
+                    inst.decode(tokens, positions)
+                except Exception:
+                    # host 0 broadcasts OP_CLEAR after its own failure;
+                    # mirror the reset locally and keep following
+                    inst.clear_cache()

@@ -92,6 +92,20 @@ class Instance:
                 if self.cache.v_scale is not None else None,
             )
         self.allocator = kvc.SlotAllocator(self.ctx_len)
+        # step-input shardings: required under multi-process SPMD (a host-
+        # local array can't feed a jit spanning other processes' devices);
+        # harmless single-process
+        self._io_shardings = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from ..parallel import sharding as sh
+
+            io = sh.step_io_specs()
+            self._io_shardings = {
+                k: NamedSharding(mesh, io[k])
+                for k in ("tokens", "positions", "slots", "logits_index")
+            }
 
         self._enc_out = None
         self._enc_mask = None
@@ -302,14 +316,26 @@ class Instance:
         slot_pad[0, :n] = slots
         logits_index = np.array([n - 1], np.int32)
 
+        if self._io_shardings is not None:
+            sh = self._io_shardings
+            args = (jax.device_put(tok_pad, sh["tokens"]),
+                    jax.device_put(pos_pad, sh["positions"]),
+                    jax.device_put(slot_pad, sh["slots"]),
+                    jax.device_put(logits_index, sh["logits_index"]))
+        else:
+            args = (jnp.asarray(tok_pad), jnp.asarray(pos_pad),
+                    jnp.asarray(slot_pad), jnp.asarray(logits_index))
         logits, self.cache = self._step(
-            self.model.weights,
-            jnp.asarray(tok_pad),
-            jnp.asarray(pos_pad),
-            jnp.asarray(slot_pad),
-            self.cache,
-            jnp.asarray(logits_index),
+            self.model.weights, args[0], args[1], args[2], self.cache, args[3],
         )
+        if jax.process_count() > 1:
+            # multi-host: the logits span non-addressable devices; allgather
+            # to host on every process (each runs the same call sequence)
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(logits[0], tiled=True)
+            ).astype(np.float32)
         return np.asarray(logits[0]).astype(np.float32)
 
     @property

@@ -38,13 +38,36 @@ class GenRequest:
 
 
 @dataclass
+class VerifyRequest:
+    """Teacher-forced verification as a batch row (SURVEY §7.2 step 8).
+
+    Replays `predictions` (the prover's claimed tokens + top-10 logits)
+    against the model, scoring each step with LogitComparer — the fillCtx
+    flow (Session.cpp:231-244) as a scheduler row. Row-level attention is
+    independent per row, so the score does not depend on what else shares
+    the batch (batch invariance, tested in test_scheduler.py); a scheduler
+    prover replayed by a scheduler verifier at the same max_batch is
+    bit-exact, while solo-Session cross-checks hold at the reference's
+    cross-backend thresholds (t-LogitComparer.cpp:76-78)."""
+
+    prompt: list[int]
+    predictions: list[TokenPrediction]
+    on_done: Callable[[float], None] | None = None
+    # filled per step for inspection/tests: replayed TokenPredictions
+    on_replayed: Callable[[list[TokenPrediction]], None] | None = None
+
+
+@dataclass
 class _Slot:
     request: GenRequest | None = None
+    verify: VerifyRequest | None = None
     sampler: Sampler | None = None
     num_past: int = 0
     generated: list = field(default_factory=list)
     pending_token: int = -1
     last_logits: np.ndarray | None = None
+    verify_idx: int = 0
+    aggregator: object = None
 
 
 class ContinuousBatchingScheduler:
@@ -99,14 +122,16 @@ class ContinuousBatchingScheduler:
 
     def run_until_idle(self) -> None:
         """Synchronous drain (for tests and batch jobs)."""
-        while not self._queue.empty() or any(s.request for s in self._slots):
+        while not self._queue.empty() or any(
+                s.request or s.verify for s in self._slots):
             self._iteration()
 
     # -- engine --------------------------------------------------------------
 
     def _run(self) -> None:
         while not self._stop.is_set():
-            if self._queue.empty() and not any(s.request for s in self._slots):
+            if self._queue.empty() and not any(
+                    s.request or s.verify for s in self._slots):
                 try:
                     req = self._queue.get(timeout=0.05)
                     self._queue.put(req)
@@ -116,18 +141,26 @@ class ContinuousBatchingScheduler:
 
     def _admit(self) -> None:
         for b, slot in enumerate(self._slots):
-            if slot.request is not None:
+            if slot.request is not None or slot.verify is not None:
                 continue
             try:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 return
-            slot.request = req
-            slot.sampler = Sampler(self.model.vocab, req.sampler_params)
             slot.num_past = 0
             slot.generated = []
             slot.pending_token = -1
             slot.last_logits = None
+            slot.verify_idx = 0
+            if isinstance(req, VerifyRequest):
+                from ..runtime.verify import MetricsAggregator
+
+                slot.verify = req
+                slot.sampler = None
+                slot.aggregator = MetricsAggregator()
+            else:
+                slot.request = req
+                slot.sampler = Sampler(self.model.vocab, req.sampler_params)
             self._prefill(b, req.prompt or [self.model.vocab.bos()])
 
     def _prefill(self, row: int, tokens: list[int]) -> None:
@@ -153,8 +186,9 @@ class ContinuousBatchingScheduler:
                 # the final chunk via a 1-token replay-free trick: track below
                 slot.num_past += len(part)
                 off += len(part)
-                for t in part:
-                    slot.sampler.accept(t, False)
+                if slot.sampler is not None:
+                    for t in part:
+                        slot.sampler.accept(t, False)
             # decode the true last-token logits: rerun last token? Instead we
             # carried logits at index 0 — recover by a dedicated last-index
             # pass is wasteful; we store logits of the row computed at the
@@ -187,13 +221,22 @@ class ContinuousBatchingScheduler:
 
     def _iteration(self) -> None:
         self._admit()
-        active = [b for b, s in enumerate(self._slots) if s.request is not None]
+        active = [b for b, s in enumerate(self._slots)
+                  if s.request is not None or s.verify is not None]
         if not active:
             return
 
-        # sample next token per active row (host, per-request sampler state)
+        # next token per active row: sampled for generation rows (host,
+        # per-request sampler state), teacher-forced for verification rows
         for b in active:
             slot = self._slots[b]
+            if slot.verify is not None:
+                if slot.verify_idx >= len(slot.verify.predictions) \
+                        or slot.num_past >= self.S - 1:
+                    slot.pending_token = -1
+                else:
+                    slot.pending_token = slot.verify.predictions[slot.verify_idx].token
+                continue
             tok = slot.sampler.sample(slot.last_logits)
             if self.model.vocab.is_eog(tok) or len(slot.generated) >= slot.request.max_tokens - 1 or slot.num_past >= self.S - 1:
                 # finish: EOG is not decoded (Session semantics)
@@ -226,6 +269,9 @@ class ContinuousBatchingScheduler:
             if slot.pending_token < 0:
                 self._finish(b)
                 continue
+            if slot.verify is not None:
+                self._verify_step(b, logits_host[b])
+                continue
             slot.sampler.accept(slot.pending_token, True)
             slot.num_past += 1
             slot.last_logits = logits_host[b]
@@ -238,6 +284,28 @@ class ContinuousBatchingScheduler:
             if len(slot.generated) >= slot.request.max_tokens or slot.num_past >= self.S - 1:
                 self._finish(b)
 
+    def _verify_step(self, row: int, lg: np.ndarray) -> None:
+        """One teacher-forced replay step: recompute the claimed token set's
+        logits (Session.get_logits_for semantics, Session.cpp:263-282) and
+        push the comparison into the row's aggregator."""
+        from ..runtime.verify import LogitComparer
+
+        slot = self._slots[row]
+        claimed = slot.verify.predictions[slot.verify_idx]
+        slot.num_past += 1
+        slot.last_logits = lg
+        self.metrics.tokens_decoded += 1
+        ids = np.array(sorted({td.token for td in claimed.logits}), np.int64)
+        vals = lg[ids]
+        order = np.lexsort((ids, -vals))
+        replayed = [TokenData(int(ids[i]), float(vals[i])) for i in order]
+        slot.aggregator.push_and_verify(
+            LogitComparer.compare(claimed.logits, replayed))
+        slot.generated.append(TokenPrediction(claimed.token, replayed))
+        slot.verify_idx += 1
+        if slot.verify_idx >= len(slot.verify.predictions):
+            self._finish(row)
+
     @staticmethod
     def _top10(lg: np.ndarray) -> list[TokenData]:
         idx = np.argpartition(-lg, 10)[:10]
@@ -247,6 +315,8 @@ class ContinuousBatchingScheduler:
     def _finish(self, row: int) -> None:
         slot = self._slots[row]
         req = slot.request
+        ver = slot.verify
+        agg = slot.aggregator
         generated = slot.generated
         # free the row: clear its cache positions
         self.cache = kvc.KVCache(
@@ -254,8 +324,17 @@ class ContinuousBatchingScheduler:
             self.cache.positions.at[row].set(-1),
         )
         slot.request = None
+        slot.verify = None
         slot.sampler = None
+        slot.aggregator = None
         slot.generated = []
         slot.last_logits = None
+        if ver is not None:
+            if ver.on_replayed:
+                ver.on_replayed(generated)
+            if ver.on_done:
+                score = agg.push_and_verify([]) if agg and agg.metrics else 0.0
+                ver.on_done(score)
+            return
         if req and req.on_done:
             req.on_done(generated)

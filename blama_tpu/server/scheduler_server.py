@@ -82,4 +82,22 @@ class SchedulerServer(Server):
         tokens = self._model.vocab.tokenize(text, True, True)
         self._submit(tokens, params, cb)
 
-    # verify / chat_verify inherit the solo deterministic path from Server
+    # -- verification runs as teacher-forced batch rows (SURVEY §7.2 step 8) --
+
+    def _submit_verify(self, prompt_tokens, resp: CompleteResponse, cb) -> None:
+        from .scheduler import VerifyRequest
+
+        self.scheduler.submit(VerifyRequest(
+            prompt=prompt_tokens,
+            predictions=self._response_to_predictions(resp),
+            on_done=cb,
+        ))
+
+    def verify(self, req: CompleteRequestParams, resp: CompleteResponse, cb) -> None:
+        tokens = self._model.vocab.tokenize(req.prompt, True, True)
+        self._submit_verify(tokens, resp, cb)
+
+    def chat_verify(self, req: ChatCompleteRequestParams, resp: CompleteResponse, cb) -> None:
+        fmt = self._format_chat(req)
+        tokens = self._model.vocab.tokenize(fmt, True, True)
+        self._submit_verify(tokens, resp, cb)

@@ -1,0 +1,108 @@
+"""Multi-host serving driver (parallel/multihost.py) across REAL processes.
+
+VERDICT r1 #6: host-0 HTTP/session loop + follower replay, exercised with 2
+localhost jax.distributed CPU processes (each owning one device of a global
+tp=2 mesh). One complete + verify round trip runs end-to-end; the greedy
+tokens must match a plain single-process run of the same model, and the
+teacher-forced replay score must be exactly 1.0 (same engine, same mesh).
+The failure policy (step failure → OP_CLEAR resync, error surfaced) is
+documented in the module and unit-tested via the proxy protocol below.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def gguf(tmp_path_factory):
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path_factory.mktemp("mh") / "mh.gguf")
+    write_tiny_llama(p, GGMLType.Q8_0, spec={"n_head": 8, "n_head_kv": 4})
+    return p
+
+
+def _single_process_tokens(gguf):
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+
+    m = Model(gguf, ModelParams())
+    inst = Instance(m, InstanceInitParams(ctx_size=64, fast_greedy=False))
+    s = inst.start_session(SessionInitParams(seed=5, temperature=0.0))
+    s.set_initial_prompt(m.vocab.tokenize("hello world", True, True))
+    toks = [p.token for p in s.complete(CompleteParams(max_tokens=6))]
+    inst.stop_session()
+    m.close()
+    return toks
+
+
+def test_two_process_serve_and_verify(gguf, tmp_path):
+    """2 jax.distributed processes serve one request end-to-end: host 0 runs
+    the session, host 1 mirrors every engine call; replay verifies at 1.0."""
+    port = _free_port()
+    out = str(tmp_path / "result.json")
+    env = {**os.environ, "PYTHONPATH": ROOT,
+           "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+    worker = os.path.join(ROOT, "tests", "multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), gguf, out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=540) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, (
+            f"proc rc={p.returncode}\nstdout:\n{so.decode()[-2000:]}\n"
+            f"stderr:\n{se.decode()[-4000:]}")
+    with open(out) as f:
+        result = json.load(f)
+    assert result["n_processes"] == 2
+    assert result["score"] == 1.0  # same-engine replay: bit-exact top-10
+    # the global-tp=2 multihost engine must agree with plain single-process
+    assert result["tokens"] == _single_process_tokens(gguf)
+
+
+def test_host_loop_failure_policy(gguf, monkeypatch):
+    """A failing engine step on host 0 broadcasts OP_CLEAR (resync) and
+    re-raises — the documented failure policy. Single-process: broadcasts
+    are identity, so this pins the protocol-level behavior."""
+    from blama_tpu.parallel import multihost as mh
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+
+    m = Model(gguf, ModelParams())
+    inst = Instance(m, InstanceInitParams(ctx_size=64))
+    loop = mh.HostLoop(inst, max_chunk=16)
+    sent = []
+    monkeypatch.setattr(loop, "_bcast",
+                        lambda op, args=(0, 0, 0), tokens=None, positions=None:
+                        sent.append(op))
+
+    def boom(tokens, positions):
+        raise RuntimeError("injected step failure")
+
+    monkeypatch.setattr(inst, "decode", boom)
+    with pytest.raises(RuntimeError, match="injected step failure"):
+        loop.decode([1, 2, 3], np.arange(3))
+    assert sent == [mh.OP_DECODE, mh.OP_CLEAR]
+    # the instance cache was cleared to a consistent empty state
+    assert int(np.asarray(inst.cache.positions).max()) == -1
+    m.close()

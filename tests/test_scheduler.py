@@ -119,3 +119,116 @@ def test_streaming_callbacks_and_metrics(model):
     ))
     sched2.run_until_idle()
     assert all(len(p.logits) == 10 for p in caught)
+
+
+# --- batched teacher-forced verification (VERDICT r1 #7 / SURVEY §7.2.8) ----
+
+def _gen_on_scheduler(model, sched, prompt, n=6):
+    out = {}
+    sched.submit(GenRequest(
+        prompt=model.vocab.tokenize(prompt, True, True), max_tokens=n,
+        sampler_params=greedy_params(),
+        on_done=lambda preds: out.setdefault("p", preds)))
+    sched.run_until_idle()
+    return out["p"]
+
+
+def _verify_on_scheduler(model, sched, prompt, preds, noise=0):
+    """Submit a VerifyRequest (optionally alongside `noise` concurrent
+    generation rows) and return (score, replayed predictions)."""
+    from blama_tpu.server.scheduler import VerifyRequest
+
+    out = {}
+    for i in range(noise):
+        sched.submit(GenRequest(
+            prompt=model.vocab.tokenize(f"noise prompt {i}", True, True),
+            max_tokens=8, sampler_params=greedy_params(),
+            on_done=lambda _: None))
+    sched.submit(VerifyRequest(
+        prompt=model.vocab.tokenize(prompt, True, True),
+        predictions=preds,
+        on_done=lambda s: out.setdefault("score", s),
+        on_replayed=lambda r: out.setdefault("rep", r)))
+    sched.run_until_idle()
+    return out["score"], out["rep"]
+
+
+def test_batched_verify_bit_exact_same_engine(model):
+    """Scheduler prover → scheduler verifier: the teacher-forced batch row
+    recomputes bit-identical top-10 logits (score exactly 1.0), the
+    e-verify.cpp flow with both sides on the batched engine."""
+    prompt = "the cat sat on"
+    sched = ContinuousBatchingScheduler(model, max_batch=4, ctx_size=64)
+    preds = _gen_on_scheduler(model, sched, prompt)
+    score, rep = _verify_on_scheduler(model, sched, prompt, preds)
+    assert score == 1.0
+    for o, r in zip(preds, rep):
+        assert [l.token for l in o.logits] == [l.token for l in r.logits]
+        assert [l.logit for l in o.logits] == [l.logit for l in r.logits]
+
+
+def test_batched_verify_batch_invariant(model):
+    """The verify row's score and replayed logits do not depend on what else
+    shares the batch (SURVEY §7.3 hardest-part #2: batch invariance)."""
+    prompt = "hello world again"
+    sched = ContinuousBatchingScheduler(model, max_batch=4, ctx_size=64)
+    preds = _gen_on_scheduler(model, sched, prompt)
+    score_alone, rep_alone = _verify_on_scheduler(model, sched, prompt, preds)
+    score_noisy, rep_noisy = _verify_on_scheduler(model, sched, prompt, preds,
+                                                  noise=3)
+    assert score_alone == score_noisy == 1.0
+    for a, b in zip(rep_alone, rep_noisy):
+        assert [l.logit for l in a.logits] == [l.logit for l in b.logits]
+
+
+def test_batched_verify_cross_engine_threshold(model):
+    """Solo-Session prover → scheduler verifier: cross-engine replay holds at
+    the reference's cross-backend thresholds (t-LogitComparer.cpp:78),
+    and flags tampered responses."""
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.runtime.token_data import TokenData, TokenPrediction
+
+    prompt = "the dog ran over"
+    inst = Instance(model, InstanceInitParams(ctx_size=64, fast_greedy=False))
+    s = inst.start_session(SessionInitParams(seed=0, temperature=0.0))
+    s.set_initial_prompt(model.vocab.tokenize(prompt, True, True))
+    preds = s.complete(CompleteParams(max_tokens=6))
+    inst.stop_session()
+
+    sched = ContinuousBatchingScheduler(model, max_batch=4, ctx_size=64)
+    score, _ = _verify_on_scheduler(model, sched, prompt, preds)
+    assert score >= 0.95
+
+    # tampered response: fabricated logit values must crater the score
+    bad = [TokenPrediction(p.token,
+                           [TokenData(td.token, td.logit + 7.5)
+                            for td in p.logits]) for p in preds]
+    score_bad, _ = _verify_on_scheduler(model, sched, prompt, bad)
+    assert score_bad < 0.95
+
+
+def test_scheduler_server_verify_endpoint(model):
+    """SchedulerServer routes /verify_completion through the batched path."""
+    import threading
+
+    from blama_tpu.server.scheduler_server import SchedulerServer
+    from blama_tpu.server.server import CompleteRequestParams
+
+    srv = SchedulerServer(model, max_batch=4)
+    try:
+        done = threading.Event()
+        resp_box = {}
+        srv.complete_text(
+            CompleteRequestParams(prompt="the cat sat", max_tokens=5,
+                                  temperature=0.0, seed=1),
+            lambda r: (resp_box.setdefault("r", r), done.set()))
+        assert done.wait(120)
+        done2 = threading.Event()
+        srv.verify(CompleteRequestParams(prompt="the cat sat", temperature=0.0,
+                                         seed=1),
+                   resp_box["r"], lambda s: (resp_box.setdefault("s", s), done2.set()))
+        assert done2.wait(120)
+        assert resp_box["s"] == 1.0
+    finally:
+        srv.close()
