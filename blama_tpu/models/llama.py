@@ -64,7 +64,8 @@ _OPTIONAL_BIASES = {
 
 
 def load_llama_params(
-    reader: GGUFReader, cfg: ModelConfig, dtype=jnp.float32, fused_quant: bool | str = False
+    reader: GGUFReader, cfg: ModelConfig, dtype=jnp.float32,
+    fused_quant: bool | str = False, fuse_proj: bool = False,
 ) -> dict[str, Any]:
     """Load llama-family weights into a stacked pytree.
 
@@ -158,6 +159,27 @@ def load_llama_params(
         layer_list = [
             {k: layers[k][i] for k in layers} for i in range(cfg.n_layer)
         ]
+        if fuse_proj:
+            # fuse qkv and gate+up into single wide kernel dispatches (3
+            # fewer pallas calls per layer; the narrow wk/wv tiles also gain
+            # streaming efficiency). Plain unsharded serving only — the
+            # tp_blocks verification modes keep the unfused layout so a solo
+            # verifier matches a sharded prover's arithmetic exactly.
+            from ..ops.pallas.quant_matmul import concat_quant
+
+            def _fusable(ps):
+                return (len({type(w) for w in ps}) == 1
+                        and isinstance(ps[0], (QuantTensor, QuantTensorA8,
+                                               QuantTensorK4))
+                        and all(jax.tree_util.tree_leaves(w)[0].shape[1]
+                                == w.n_out for w in ps))
+
+            for p in layer_list:
+                if _fusable([p["wq"], p["wk"], p["wv"]]):
+                    p["wqkv"] = concat_quant(
+                        [p.pop("wq"), p.pop("wk"), p.pop("wv")])
+                if "w_gate" in p and _fusable([p["w_gate"], p["w_up"]]):
+                    p["wgu"] = concat_quant([p.pop("w_gate"), p.pop("w_up")])
         # keep the embedding table packed too (dequant-on-gather): pure HBM
         # capacity win — the gather reads only B·T rows per step
         emb_info = reader.tensors["token_embd.weight"]
@@ -349,9 +371,14 @@ def forward(
         # blocks, contraction-sharded ones a fixed K-block add tree.
         tpb = getattr(cfg, "tp_blocks", 0)
         h = norm(x, p["attn_norm"])
-        q = qmm_nblocked(h, p["wq"], tpb)
-        k = qmm_nblocked(h, p["wk"], tpb)
-        v = qmm_nblocked(h, p["wv"], tpb)
+        if "wqkv" in p:
+            # fused projection: one wide kernel dispatch, split after
+            qkv = qmm_nblocked(h, p["wqkv"], tpb)
+            q, k, v = jnp.split(qkv, [H * D, H * D + Hkv * D], axis=-1)
+        else:
+            q = qmm_nblocked(h, p["wq"], tpb)
+            k = qmm_nblocked(h, p["wk"], tpb)
+            v = qmm_nblocked(h, p["wv"], tpb)
         if "bq" in p:
             q = q + p["bq"]
             k = k + p["bk"]
@@ -401,8 +428,13 @@ def forward(
         x = x + qmm_blocked(attn.reshape(B, T, H * D), p["wo"], tpb)
 
         h2 = norm(x, p["ffn_norm"])
-        gate = act(qmm_nblocked(h2, p["w_gate"], tpb))
-        x = x + qmm_blocked(gate * qmm_nblocked(h2, p["w_up"], tpb), p["w_down"], tpb)
+        if "wgu" in p:
+            gu = qmm_nblocked(h2, p["wgu"], tpb)
+            gate, up = jnp.split(gu, 2, axis=-1)
+            x = x + qmm_blocked(act(gate) * up, p["w_down"], tpb)
+        else:
+            gate = act(qmm_nblocked(h2, p["w_gate"], tpb))
+            x = x + qmm_blocked(gate * qmm_nblocked(h2, p["w_up"], tpb), p["w_down"], tpb)
         if "cvec" in p:
             # control-vector steering: per-layer residual bias
             # (llama_apply_adapter_cvec analog, Instance.cpp:73-84)

@@ -149,12 +149,32 @@ def _apply_lora_runtime(weights: dict, adapter: LoraAdapter,
         key = _LAYER_KEYS.get(parts[2])
         if key is None or layer >= len(layers):
             continue
+        p = layers[layer]
+        # fused-projection layouts (wqkv / wgu): the delta lands on a column
+        # segment of the fused tensor — pad bT with zeros outside it
+        off = 0
+        if key not in p:
+            if key in ("wq", "wk", "wv") and "wqkv" in p:
+                total = p["wqkv"].shape[1]
+                seg = t.b.shape[0]
+                off = {"wq": 0, "wk": total - 2 * seg,
+                       "wv": total - seg}[key]
+                key = "wqkv"
+            elif key in ("w_gate", "w_up") and "wgu" in p:
+                total = p["wgu"].shape[1]
+                off = 0 if key == "w_gate" else total // 2
+                key = "wgu"
+            else:
+                continue
         if sign > 0:
             aT = jnp.asarray(t.a.astype(np.float32).T)            # [K, r]
-            bT = jnp.asarray(t.b.astype(np.float32).T * scale)    # [r, N]
-            layers[layer][key] = _wrap_runtime(layers[layer][key], aT, bT, tag)
+            bT = jnp.asarray(t.b.astype(np.float32).T * scale)    # [r, Nseg]
+            if off or bT.shape[1] != p[key].shape[1]:
+                full = jnp.zeros((bT.shape[0], p[key].shape[1]), jnp.float32)
+                bT = full.at[:, off: off + bT.shape[1]].set(bT)
+            layers[layer][key] = _wrap_runtime(p[key], aT, bT, tag)
         else:
-            layers[layer][key] = _unwrap_runtime(layers[layer][key], tag)
+            layers[layer][key] = _unwrap_runtime(p[key], tag)
     return {**weights, "layers": layers}
 
 

@@ -330,3 +330,51 @@ def test_quant_embedding_tied_head(tmp_path):
     assert len(out) == 4
     inst.stop_session()
     m.close()
+
+
+def test_fused_projection_layout(tmp_path):
+    """Plain unsharded quantized serving fuses qkv and gate+up into single
+    wide tensors (one kernel dispatch each); the fused engine produces the
+    same greedy stream as the unfused tp_blocks layout and replays itself
+    bit-exactly."""
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.ops.pallas.quant_matmul import QuantTensorA8S
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "fp.gguf")
+    write_tiny_llama(p, GGMLType.Q4_K,
+                     spec=dict(n_embd=512, n_ff=1024, n_head=4, n_head_kv=2))
+
+    def run(tp_blocks):
+        m = Model(p, ModelParams(dtype="q4k_a8", tp_blocks=tp_blocks))
+        l0 = m.weights["layers"][0]
+        if tp_blocks == 0:
+            assert "wqkv" in l0 and "wgu" in l0 and "wq" not in l0
+            assert isinstance(l0["wqkv"], QuantTensorA8S)
+            assert l0["wqkv"].shape[1] == 512 + 2 * 256  # Nq + 2*Nkv
+        else:
+            assert "wq" in l0 and "wqkv" not in l0  # verification layout
+        inst = Instance(m, InstanceInitParams(ctx_size=64, fast_greedy=False))
+        s = inst.start_session(SessionInitParams(seed=2, temperature=0.0))
+        s.set_initial_prompt(m.vocab.tokenize("the cat sat", True, True))
+        preds = s.complete(CompleteParams(max_tokens=6))
+        inst.stop_session()
+        m.close()
+        return preds
+
+    fused, unfused = run(0), run(2)
+    assert [x.token for x in fused] == [x.token for x in unfused]
+
+    # replay self-consistency on the fused engine
+    m = Model(p, ModelParams(dtype="q4k_a8"))
+    inst = Instance(m, InstanceInitParams(ctx_size=64, fast_greedy=False))
+    s = inst.start_session(SessionInitParams(seed=2, temperature=0.0))
+    s.set_initial_prompt(m.vocab.tokenize("the cat sat", True, True))
+    rep = s.fill_ctx(fused)
+    inst.stop_session()
+    m.close()
+    for o, r in zip(fused, rep):
+        assert [l.logit for l in o.logits] == [l.logit for l in r.logits]
