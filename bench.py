@@ -45,17 +45,24 @@ def _load_model(preset, wdtype):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from blama_tpu.runtime.model import Model, ModelParams
-    from blama_tpu.testing import synthesize_llama_gguf
+    from blama_tpu.testing import (MOE_PRESETS, synthesize_llama_gguf,
+                                   synthesize_moe_gguf)
 
     path = os.path.join("/tmp", f"blama_bench_{preset}.gguf")
     if not os.path.exists(path):
         t0 = time.time()
-        synthesize_llama_gguf(path, preset)
+        if preset in MOE_PRESETS:
+            synthesize_moe_gguf(path, preset)
+        else:
+            synthesize_llama_gguf(path, preset)
         print(f"# synthesized {preset}: {time.time()-t0:.1f}s "
               f"{os.path.getsize(path)/1e9:.2f}GB", file=sys.stderr)
 
+    # BLAMA_BENCH_MOE_RAGGED=0 A/Bs the dense masked mixture vs the default
+    # ragged grouped-gemm decode (reads only routed experts)
+    ragged = os.environ.get("BLAMA_BENCH_MOE_RAGGED", "1") == "1"
     t0 = time.time()
-    model = Model(path, ModelParams(dtype=wdtype))
+    model = Model(path, ModelParams(dtype=wdtype, moe_ragged=ragged))
     load_s = time.time() - t0
     print(f"# load+dequant+upload: {load_s:.1f}s", file=sys.stderr)
     return model, load_s
@@ -73,9 +80,15 @@ def _bench_config(model, n_steps, n_prompt, flash, kv_dtype, reps=3):
     from blama_tpu.ops.kv_cache import KVCache
 
     cfg = model.config
-    st = LlamaStatic.of(cfg)
-    if flash:
-        st = dataclasses.replace(st, attn_fused=True)
+    if cfg.is_moe:
+        from blama_tpu.models.moe import MoEStatic
+
+        st = MoEStatic.of(cfg)
+        flash = False  # MoE forward is XLA-attention only (see runtime/model.py)
+    else:
+        st = LlamaStatic.of(cfg)
+        if flash:
+            st = dataclasses.replace(st, attn_fused=True)
     # cache length rounded so the fused kernels' sequence-block picker always
     # finds a divisor (silent XLA fallback would invalidate the A/B)
     S = _round_up(n_prompt + n_steps + 8, 512)

@@ -25,6 +25,16 @@ from ..models import llama as llama_mod
 from .kv_cache import KVCache
 
 
+def _forward_for(st):
+    """Pick the model forward by static type (resolved at trace time) so the
+    fused loop serves MoE (Mixtral-family) models too."""
+    from ..models import moe as moe_mod
+
+    if isinstance(st, moe_mod.MoEStatic):
+        return moe_mod.forward
+    return llama_mod.forward
+
+
 @partial(jax.jit, static_argnums=(0, 4, 5))
 def greedy_generate(
     st: "llama_mod.LlamaStatic",
@@ -42,17 +52,18 @@ def greedy_generate(
     generated token i are the ones computed AFTER decoding it (the
     distribution token i+1 is sampled from) — see Session.cpp:186-189.
     """
+    fwd = _forward_for(st)
     B, P = prompt_tokens.shape
     positions = jnp.tile(jnp.arange(P, dtype=jnp.int32), (B, 1))
     slots = positions
     li = jnp.full((B,), n_prompt - 1, jnp.int32)
 
-    logits, cache = llama_mod.forward(params, st, prompt_tokens, positions, slots, cache, li)
+    logits, cache = fwd(params, st, prompt_tokens, positions, slots, cache, li)
 
     def body(carry, _):
         cache, logits, pos = carry
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
-        logits2, cache = llama_mod.forward(
+        logits2, cache = fwd(
             params, st,
             tok[:, None], pos[:, None], pos[:, None],  # slot = position (sequential)
             cache, jnp.zeros((B,), jnp.int32),
@@ -90,11 +101,12 @@ def continue_greedy(
     truncation-rollback is identical to the step-by-step path.
     """
     B = logits0.shape[0]
+    fwd = _forward_for(st)
 
     def body(carry, _):
         cache, logits, pos = carry
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        logits2, cache = llama_mod.forward(
+        logits2, cache = fwd(
             params, st, tok[:, None], pos[:, None], pos[:, None],
             cache, jnp.zeros((B,), jnp.int32),
         )

@@ -261,11 +261,16 @@ class Session:
         from ..ops.generate_loop import continue_greedy
 
         cfg = inst.model.config
-        if cfg.arch not in ("llama", "mistral", "qwen2") or cfg.is_moe:
+        if cfg.arch not in ("llama", "mistral", "qwen2"):
             return None
         # derive statics from the instance's step config so the device loop
         # uses the same attention engine (flash_attn) as the step path
-        st = LlamaStatic.of(getattr(inst, "step_config", cfg))
+        if cfg.is_moe:
+            from ..models.moe import MoEStatic
+
+            st = MoEStatic.of(getattr(inst, "step_config", cfg))
+        else:
+            st = LlamaStatic.of(getattr(inst, "step_config", cfg))
         tokens, all_logits, cache = continue_greedy(
             st, inst.model.weights, inst.cache,
             jnp.asarray(self._last_logits[None, :]),

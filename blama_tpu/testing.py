@@ -147,6 +147,101 @@ MODEL_PRESETS = {
                        n_ff=2816, n_ctx=2048, n_vocab=32000),
 }
 
+MOE_PRESETS = {
+    # Mixtral-8x7B geometry (BASELINE.json config #4) scaled to fit one 16GB
+    # chip in bf16: same expert structure (8 experts, top-2, SwiGLU, GQA with
+    # head_dim 128), ~5.1B params (~10.2GB bf16) vs the real 46.7B.
+    "mixtral-scaled": dict(n_layer=12, n_embd=2048, n_head=16, n_head_kv=4,
+                           n_ff=8192, n_ctx=4096, n_vocab=32000,
+                           n_expert=8, n_expert_used=2,
+                           rope_freq_base=1000000.0),
+    # tiny variant for CPU-mesh tests of the same synthesis path
+    "mixtral-debug": dict(n_layer=2, n_embd=256, n_head=4, n_head_kv=2,
+                          n_ff=512, n_ctx=512, n_vocab=512,
+                          n_expert=4, n_expert_used=2,
+                          rope_freq_base=10000.0),
+}
+
+
+def synthesize_moe_gguf(path: str, preset: str = "mixtral-scaled",
+                        seed: int = 11) -> dict:
+    """Write a realistic-size Mixtral-family GGUF with direct-packed Q4_K
+    expert banks (random codes, plausible scales — throughput benchmarking
+    does not depend on weight values, but the full load path does on layout).
+    """
+    s = dict(MOE_PRESETS[preset])
+    E, H, HKV, F, L, V = (s["n_embd"], s["n_head"], s["n_head_kv"],
+                          s["n_ff"], s["n_layer"], s["n_vocab"])
+    Ne, K = s["n_expert"], s["n_expert_used"]
+    D = E // H
+    rng = np.random.default_rng(seed)
+
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [TT_UNKNOWN, TT_CONTROL, TT_CONTROL]
+    scores = [-1e9, 0.0, 0.0]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        types.append(TT_BYTE)
+        scores.append(-1e6)
+    for i in range(V - len(tokens)):
+        tokens.append(f"▁tok{i}")
+        types.append(TT_NORMAL)
+        scores.append(-10.0)
+
+    g = GGUFWriter(path)
+    g.add_kv("general.architecture", "llama")
+    g.add_kv("general.name", f"synthetic-{preset}")
+    g.add_kv("llama.block_count", L)
+    g.add_kv("llama.embedding_length", E)
+    g.add_kv("llama.feed_forward_length", F)
+    g.add_kv("llama.attention.head_count", H)
+    g.add_kv("llama.attention.head_count_kv", HKV)
+    g.add_kv("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    g.add_kv("llama.context_length", s["n_ctx"])
+    g.add_kv("llama.rope.freq_base", float(s.get("rope_freq_base", 10000.0)))
+    g.add_kv("llama.rope.dimension_count", D)
+    g.add_kv("llama.expert_count", Ne)
+    g.add_kv("llama.expert_used_count", K)
+    g.add_kv("llama.vocab_size", V)
+    g.add_kv("tokenizer.ggml.model", "llama")
+    g.add_kv("tokenizer.ggml.tokens", tokens)
+    g.add_kv("tokenizer.ggml.scores", scores)
+    g.add_kv("tokenizer.ggml.token_type", types)
+    g.add_kv("tokenizer.ggml.bos_token_id", 1)
+    g.add_kv("tokenizer.ggml.eos_token_id", 2)
+    g.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    g.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def q(name, ne, sigma=None):
+        # ne is the ggml dim order (innermost first); rows = prod(ne[1:])
+        n_rows = int(np.prod(ne[1:]))
+        sigma = sigma if sigma is not None else 1.0 / np.sqrt(ne[0])
+        g.add_tensor(name, None, GGMLType.Q4_K,
+                     raw_bytes=_pack_q4_k_direct(rng, n_rows, ne[0], sigma),
+                     ne=tuple(ne))
+
+    def norm(name, n):
+        data, ne = _pack_f32_norm(n)
+        g.add_tensor(name, None, GGMLType.F32, raw_bytes=data, ne=ne)
+
+    q("token_embd.weight", (E, V), 0.02)
+    norm("output_norm.weight", E)
+    q("output.weight", (E, V))
+    for i in range(L):
+        norm(f"blk.{i}.attn_norm.weight", E)
+        q(f"blk.{i}.attn_q.weight", (E, H * D))
+        q(f"blk.{i}.attn_k.weight", (E, HKV * D))
+        q(f"blk.{i}.attn_v.weight", (E, HKV * D))
+        q(f"blk.{i}.attn_output.weight", (H * D, E))
+        norm(f"blk.{i}.ffn_norm.weight", E)
+        g.add_tensor(f"blk.{i}.ffn_gate_inp.weight",
+                     (rng.standard_normal((Ne, E)) / np.sqrt(E)).astype(np.float32))
+        q(f"blk.{i}.ffn_gate_exps.weight", (E, F, Ne))
+        q(f"blk.{i}.ffn_up_exps.weight", (E, F, Ne))
+        q(f"blk.{i}.ffn_down_exps.weight", (F, E, Ne))
+    g.write()
+    return s
+
 
 def _pack_q4_k_direct(rng: np.random.Generator, n_rows: int, row_len: int,
                       sigma: float) -> bytes:

@@ -112,3 +112,51 @@ def test_moe_ragged_matches_dense_mixture(tmp_path):
         assert set(la) == set(lb)
         for t in la:
             assert abs(la[t] - lb[t]) < 0.05
+
+
+def test_moe_fast_greedy_matches_slow(model):
+    """The device-loop fast path (generate_loop dispatching to moe.forward)
+    produces the same tokens and top-10 logits as the step-by-step path."""
+    from blama_tpu.runtime.instance import InstanceInitParams as IIP
+
+    def run(fast):
+        inst = Instance(model, IIP(ctx_size=64, fast_greedy=fast))
+        s = inst.start_session(SessionInitParams(seed=9, temperature=0.0))
+        s.set_initial_prompt(model.vocab.tokenize("hello world", True, True))
+        preds = s.complete(CompleteParams(max_tokens=6))
+        inst.stop_session()
+        return preds
+
+    slow, fast = run(False), run(True)
+    assert [p.token for p in slow] == [p.token for p in fast]
+    for a, b in zip(slow, fast):
+        la = {td.token: td.logit for td in a.logits}
+        lb = {td.token: td.logit for td in b.logits}
+        assert set(la) == set(lb)
+
+
+def test_synthesize_moe_gguf_loads_and_generates(tmp_path):
+    """The scaled-Mixtral bench synthesizer (debug geometry) writes a loadable
+    GGUF whose Q4_K expert banks run through the fused greedy loop."""
+    import jax.numpy as jnp
+
+    from blama_tpu.models.moe import MoEStatic
+    from blama_tpu.ops.generate_loop import greedy_generate
+    from blama_tpu.ops.kv_cache import KVCache
+    from blama_tpu.runtime.model import ModelParams
+    from blama_tpu.testing import synthesize_moe_gguf
+
+    p = str(tmp_path / "mx.gguf")
+    spec = synthesize_moe_gguf(p, "mixtral-debug")
+    m = Model(p, ModelParams(dtype="float32", moe_ragged=True))
+    assert m.config.is_moe and m.config.n_expert == spec["n_expert"]
+    cfg = m.config
+    st = MoEStatic.of(cfg)
+    assert st.ragged
+    cache = KVCache.create(cfg.n_layer, 1, 64, cfg.n_head_kv, cfg.head_dim_,
+                           jnp.float32)
+    prompt = jnp.asarray(np.arange(5, 13, dtype=np.int32)[None])
+    toks, tid, tval, _ = greedy_generate(st, m.weights, prompt, cache, 8, 8)
+    assert np.asarray(toks).shape == (1, 8)
+    assert np.isfinite(np.asarray(tval)).all()
+    m.close()
