@@ -308,9 +308,27 @@ def forward(
     x = emb_lookup(params["tok_emb"], tokens)  # [B, T, E]
     if cfg.emb_scale != 1.0:
         x = x * jnp.asarray(cfg.emb_scale, x.dtype)  # gemma input scaling
-    new_positions = jax.vmap(
-        lambda p, s, q: p.at[s].set(q, mode="drop")
-    )(cache.positions, slots, positions)
+
+    # paged mode (scheduler pool, ops/paged_kv.py): `slots` are FLAT pool
+    # indices, K/V/position writes are single scatters into the shared pool,
+    # reads go through the row's page table. Decided at trace time by the
+    # cache's Python type, so dense callers compile exactly as before.
+    from ..ops import paged_kv as pkv
+
+    paged = isinstance(cache, pkv.PagedKVCache)
+    if paged:
+        pool_shape = cache.positions.shape  # [P, G]
+        new_positions = cache.positions.reshape(-1).at[
+            slots.reshape(-1)].set(positions.reshape(-1), mode="drop"
+        ).reshape(pool_shape)
+        # per-row logical view of the updated position map (for masks/rope)
+        view_slots = pkv.view_slot_map(cache.page_table, cache.page_size)
+        mapped = jnp.repeat(cache.page_table >= 0, cache.page_size, axis=1)
+        pos_view = jnp.where(mapped, new_positions.reshape(-1)[view_slots], -1)
+    else:
+        new_positions = jax.vmap(
+            lambda p, s, q: p.at[s].set(q, mode="drop")
+        )(cache.positions, slots, positions)
 
     act = _act(cfg.act_fn)
     eps = cfg.rms_eps
@@ -339,27 +357,43 @@ def forward(
         # when every head dim is rotated
         and not (yarn is not None and rope_dim < D)
     )
-    use_fused_attn = (
-        _fused_ok
-        and tokens.shape[1] == 1
-        and dattn.supports(cache.n_slots, D, cache.k.dtype)
-    )
-    # T > 1 chunks (prompt prefill) take the fused flash-prefill kernel: one
-    # streaming pass of the stored cache per chunk instead of the XLA chain's
-    # rotated/dequantized materializations (ops/pallas/decode_attention.py,
-    # prefill section)
-    use_fused_prefill = (
-        _fused_ok
-        and dattn.prefill_supports(tokens.shape[1], cache.n_slots, D,
-                                   cache.k.dtype)
-    )
+    from ..ops.pallas import paged_attention as pattn
+
+    if paged:
+        use_fused_attn = (
+            _fused_ok
+            and tokens.shape[1] == 1
+            and pattn.supports(cache.page_size, D, cache.k.dtype)
+        )
+        use_fused_prefill = (
+            _fused_ok
+            and pattn.prefill_supports(tokens.shape[1], cache.page_size, D,
+                                       cache.k.dtype)
+        )
+    else:
+        use_fused_attn = (
+            _fused_ok
+            and tokens.shape[1] == 1
+            and dattn.supports(cache.n_slots, D, cache.k.dtype,
+                               tokens.shape[0])
+        )
+        # T > 1 chunks (prompt prefill) take the fused flash-prefill kernel:
+        # one streaming pass of the stored cache per chunk instead of the XLA
+        # chain's rotated/dequantized materializations
+        # (ops/pallas/decode_attention.py, prefill section)
+        use_fused_prefill = (
+            _fused_ok
+            and dattn.prefill_supports(tokens.shape[1], cache.n_slots, D,
+                                       cache.k.dtype, tokens.shape[0])
+        )
     if use_fused_attn or use_fused_prefill:
         inv_freq_e, rope_mscale = dattn.effective_inv_freq(
             rope_dim, D, freq_base, rs, yarn=yarn, freq_factors=ff)
         kv_rope = None
     else:
-        kv_rope = rope_angles(jnp.maximum(new_positions, 0), rope_dim, freq_base, rs,
-                              yarn=yarn, freq_factors=ff)
+        kv_pos_for_rope = pos_view if paged else new_positions
+        kv_rope = rope_angles(jnp.maximum(kv_pos_for_rope, 0), rope_dim,
+                              freq_base, rs, yarn=yarn, freq_factors=ff)
 
     def layer_fn(x, scanned):
         p, k_l, v_l, ks_l, vs_l = scanned  # k_l/v_l: [B, S, Hkv, D]
@@ -390,21 +424,61 @@ def forward(
         q = apply_rope(q, positions, rope_dim, freq_base, interleaved, cos_sin=q_rope)
 
         # write unrotated K and V into cache slots (pad slots are dropped)
-        write = jax.vmap(lambda c, s, n: c.at[s].set(n, mode="drop"))
+        if paged:
+            # pool scatter at flat slot indices (unique; pads dropped)
+            flat = slots.reshape(-1)
+
+            def write(c, n):
+                shp = c.shape  # [P, G, ...] -> flat [P*G, ...]
+                return c.reshape((-1,) + shp[2:]).at[flat].set(
+                    n.reshape((-1,) + n.shape[2:]), mode="drop").reshape(shp)
+        else:
+            _vwrite = jax.vmap(lambda c, s, n: c.at[s].set(n, mode="drop"))
+
+            def write(c, n):
+                return _vwrite(c, slots, n)
         if ks_l is not None:
             # INT8 KV: per-(token, head) max-abs quantization on write,
             # dequant on read (deterministic; BASELINE.json north star)
             k_codes, k_sc = quantize_kv(k)
             v_codes, v_sc = quantize_kv(v)
-            k_l = write(k_l, slots, k_codes)
-            v_l = write(v_l, slots, v_codes)
-            ks_l = write(ks_l, slots, k_sc)
-            vs_l = write(vs_l, slots, v_sc)
+            k_l = write(k_l, k_codes)
+            v_l = write(v_l, v_codes)
+            ks_l = write(ks_l, k_sc)
+            vs_l = write(vs_l, v_sc)
         else:
-            k_l = write(k_l, slots, k)
-            v_l = write(v_l, slots, v)
+            k_l = write(k_l, k)
+            v_l = write(v_l, v)
 
-        if use_fused_attn:
+        if paged:
+            if use_fused_attn:
+                attn = pattn.paged_decode_attention(
+                    q, k_l, v_l, new_positions, cache.page_table,
+                    positions[:, 0], inv_freq_e,
+                    k_scale=ks_l, v_scale=vs_l, mscale=rope_mscale,
+                )
+            elif use_fused_prefill:
+                attn = pattn.paged_prefill_attention(
+                    q, k_l, v_l, new_positions, cache.page_table,
+                    positions, inv_freq_e,
+                    k_scale=ks_l, v_scale=vs_l, mscale=rope_mscale,
+                )
+            else:
+                # XLA fallback: gather the logical row view (bit-identical to
+                # a dense row; see ops/paged_kv.py) and run the dense chain
+                kv, vv, ksv, vsv = pkv.gather_view(
+                    cache, k_l, v_l, ks_l, vs_l)
+                if ksv is not None:
+                    k_use = dequantize_kv(kv, ksv, x.dtype)
+                    v_use = dequantize_kv(vv, vsv, x.dtype)
+                else:
+                    k_use, v_use = kv, vv
+                attn = attention(
+                    q, k_use, v_use, positions, pos_view,
+                    rope_dim=rope_dim, freq_base=freq_base,
+                    interleaved=interleaved, causal=cfg.causal, kv_rope=kv_rope,
+                )
+        elif use_fused_attn:
             attn = dattn.decode_attention(
                 q, k_l, v_l, positions[:, 0], new_positions, inv_freq_e,
                 k_scale=ks_l, v_scale=vs_l, mscale=rope_mscale,
@@ -464,7 +538,11 @@ def forward(
             (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
         )
 
-    new_cache = KVCache(k_new, v_new, new_positions, ks_new, vs_new)
+    if paged:
+        new_cache = pkv.PagedKVCache(k_new, v_new, new_positions,
+                                     cache.page_table, ks_new, vs_new)
+    else:
+        new_cache = KVCache(k_new, v_new, new_positions, ks_new, vs_new)
     if all_positions:
         last_h = norm(x, params["out_norm"])                 # [B, T, E]
     else:

@@ -102,7 +102,7 @@ def _decode_attn_kernel(
     v_ref,       # [1, BS, Hkv*D]
     posr_ref,    # [1, BS] int32 slot positions (row layout, mask)
     posc_ref,    # [BS, 1] int32 slot positions (column layout, rope angles)
-    qpos_ref,    # [1, 1] int32 (SMEM) query position
+    qpos_ref,    # [B, 1] int32 (whole-array SMEM) query positions
     invf_ref,    # [1, D] f32 effective inv-freq, interleave-expanded
     *rest_refs,
     n_kv_head: int,
@@ -134,7 +134,7 @@ def _decode_attn_kernel(
     even = jax.lax.broadcasted_iota(jnp.int32, (bs, D), 1) % 2 == 0
     sin_signed = jnp.where(even, -sin, sin)
 
-    qpos = qpos_ref[0, 0]
+    qpos = qpos_ref[pl.program_id(0), 0]
     pos_row = posr_ref[0:1, :]                            # [1, BS]
     mask_row = (pos_row >= 0) & (pos_row <= qpos)         # [1, BS]
 
@@ -176,46 +176,54 @@ def _decode_attn_kernel(
         out_ref[0] = (acc_ref[:] / denom).astype(out_ref.dtype)
 
 
-def _pick_block_s(S: int, itemsize: int) -> int | None:
-    # the sublane tile is 32/itemsize (f32: 8, bf16: 16, int8: 32); blocks
-    # below the tile would be padded/misaligned, so they are not offered
+def _pick_block_s(S: int, itemsize: int, batch: int = 1) -> int | None:
+    # Mosaic lane rule for the [1, B*S] position row layout: the lane block
+    # must be a multiple of 128 OR the whole array (the latter admits the
+    # small-context single-block case, e.g. S=32 at B=1)
     for bs in (512, 256, 128, 64, 32, 16, 8):
-        if S % bs == 0 and bs >= 32 // itemsize:
+        if S % bs == 0 and (bs % 128 == 0 or bs == batch * S):
             return bs
     return None
 
 
-def supports(S: int, head_dim: int, k_dtype) -> bool:
+def supports(S: int, head_dim: int, k_dtype, batch: int = 1) -> bool:
     """Whether the fused kernel can serve this cache geometry."""
     item = jnp.dtype(k_dtype).itemsize
     return (
-        _pick_block_s(S, item) is not None
+        _pick_block_s(S, item, batch) is not None
         and head_dim % 2 == 0
         and head_dim <= 256
     )
 
 
 @partial(jax.jit, static_argnames=("scale", "interpret"))
-def _call(q, k2, v2, kv_pos, kv_pos_t, q_pos, inv_freq_e, ks, vs,
+def _call(q, k2, v2, kv_pos, q_pos, inv_freq_e, ks, vs,
           scale: float, interpret: bool):
     B, H, D = q.shape
     S = k2.shape[1]
     Hkv = k2.shape[2] // D
     group = H // Hkv
-    block_s = _pick_block_s(S, jnp.dtype(k2.dtype).itemsize)
+    block_s = _pick_block_s(S, jnp.dtype(k2.dtype).itemsize, B)
     grid = (B, S // block_s)
+    nsb = S // block_s
     quantized = ks is not None
 
     in_specs = [
         pl.BlockSpec((1, H, D), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_s, Hkv * D), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_s, Hkv * D), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_s), lambda b, n: (b, n), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_s, 1), lambda b, n: (n, b), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1), lambda b, n: (b, 0), memory_space=pltpu.SMEM),
+        # positions flattened to [1, B*S] / [B*S, 1] so the blocks satisfy
+        # Mosaic tiling at ANY batch (row b block n = flat block b*nsb + n);
+        # q_pos rides whole-array SMEM for the same reason
+        pl.BlockSpec((1, block_s), lambda b, n: (0, b * nsb + n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_s, 1), lambda b, n: (b * nsb + n, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, D), lambda b, n: (0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [q, k2, v2, kv_pos, kv_pos_t, q_pos, inv_freq_e]
+    args = [q, k2, v2, kv_pos.reshape(1, B * S), kv_pos.reshape(B * S, 1),
+            q_pos, inv_freq_e]
     if quantized:
         in_specs += [
             pl.BlockSpec((1, Hkv, block_s), lambda b, n: (b, 0, n), memory_space=pltpu.VMEM),
@@ -266,13 +274,12 @@ def decode_attention(
 
     k2 = k_cache.reshape(B, S, Hkv * D)
     v2 = v_cache.reshape(B, S, Hkv * D)
-    kv_pos_t = kv_pos.T  # [S, B] column layout for in-kernel rope angles
     ks = vs = None
     if k_scale is not None:
         ks = jnp.swapaxes(k_scale, 1, 2)  # [B, Hkv, S]: lane-majors the S axis
         vs = jnp.swapaxes(v_scale, 1, 2)
     out = _call(
-        q.reshape(B, H, D), k2, v2, kv_pos, kv_pos_t,
+        q.reshape(B, H, D), k2, v2, kv_pos,
         q_pos.reshape(B, 1), inv_freq_e.reshape(1, D), ks, vs,
         scale=float(scale),
         interpret=jax.default_backend() == "cpu",
@@ -393,20 +400,21 @@ def _pick_block_t(T: int) -> int | None:
     return None
 
 
-def prefill_supports(T: int, S: int, head_dim: int, k_dtype) -> bool:
+def prefill_supports(T: int, S: int, head_dim: int, k_dtype,
+                     batch: int = 1) -> bool:
     """Whether the fused prefill kernel can serve this chunk geometry."""
     item = jnp.dtype(k_dtype).itemsize
     return (
         T > 1
         and _pick_block_t(T) is not None
-        and _pick_block_s(S, item) is not None
+        and _pick_block_s(S, item, batch) is not None
         and head_dim % 2 == 0
         and head_dim <= 256
     )
 
 
 @partial(jax.jit, static_argnames=("scale", "interpret"))
-def _prefill_call(q2, k2, v2, kv_pos, kv_pos_t, q_pos_t, inv_freq_e, ks, vs,
+def _prefill_call(q2, k2, v2, kv_pos, q_pos, inv_freq_e, ks, vs,
                   scale: float, interpret: bool):
     B, T, HD = q2.shape
     D = inv_freq_e.shape[1]
@@ -415,8 +423,10 @@ def _prefill_call(q2, k2, v2, kv_pos, kv_pos_t, q_pos_t, inv_freq_e, ks, vs,
     Hkv = k2.shape[2] // D
     group = H // Hkv
     block_t = _pick_block_t(T)
-    block_s = _pick_block_s(S, jnp.dtype(k2.dtype).itemsize)
+    block_s = _pick_block_s(S, jnp.dtype(k2.dtype).itemsize, B)
     grid = (B, T // block_t, S // block_s)
+    nsb = S // block_s
+    ntb = T // block_t
     quantized = ks is not None
 
     in_specs = [
@@ -426,15 +436,18 @@ def _prefill_call(q2, k2, v2, kv_pos, kv_pos_t, q_pos_t, inv_freq_e, ks, vs,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_s, Hkv * D), lambda b, t, n: (b, n, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_s), lambda b, t, n: (b, n),
+        # positions/query-positions flattened ([1, B*S] / [B*S, 1] / [B*T, 1])
+        # so the blocks satisfy Mosaic tiling at ANY batch
+        pl.BlockSpec((1, block_s), lambda b, t, n: (0, b * nsb + n),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_s, 1), lambda b, t, n: (n, b),
+        pl.BlockSpec((block_s, 1), lambda b, t, n: (b * nsb + n, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_t, 1), lambda b, t, n: (t, b),
+        pl.BlockSpec((block_t, 1), lambda b, t, n: (b * ntb + t, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, D), lambda b, t, n: (0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [q2, k2, v2, kv_pos, kv_pos_t, q_pos_t, inv_freq_e]
+    args = [q2, k2, v2, kv_pos.reshape(1, B * S), kv_pos.reshape(B * S, 1),
+            q_pos.reshape(B * T, 1), inv_freq_e]
     if quantized:
         in_specs += [
             pl.BlockSpec((1, Hkv, block_s), lambda b, t, n: (b, 0, n),
@@ -488,14 +501,12 @@ def prefill_attention(
     q2 = q.reshape(B, T, H * D)
     k2 = k_cache.reshape(B, S, Hkv * D)
     v2 = v_cache.reshape(B, S, Hkv * D)
-    kv_pos_t = kv_pos.T        # [S, B]
-    q_pos_t = q_pos.T          # [T, B]
     ks = vs = None
     if k_scale is not None:
         ks = jnp.swapaxes(k_scale, 1, 2)  # [B, Hkv, S]
         vs = jnp.swapaxes(v_scale, 1, 2)
     out = _prefill_call(
-        q2, k2, v2, kv_pos, kv_pos_t, q_pos_t, inv_freq_e.reshape(1, D),
+        q2, k2, v2, kv_pos, q_pos, inv_freq_e.reshape(1, D),
         ks, vs, scale=float(scale),
         interpret=jax.default_backend() == "cpu",
     )

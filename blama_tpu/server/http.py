@@ -252,8 +252,14 @@ def main() -> None:
     if sched_batch > 0:
         from .scheduler_server import SchedulerServer
 
-        api = SchedulerServer(model, max_batch=sched_batch)
-        print(f"continuous batching enabled (max_batch={sched_batch})")
+        # BLAMA_PAGED_KV=1 switches the scheduler to the shared page pool
+        # (admission by free pages, not rows); BLAMA_KV_PAGES sizes the pool
+        # in 128-slot pages (0 = same HBM as the dense row layout)
+        paged = os.environ.get("BLAMA_PAGED_KV", "0") == "1"
+        api = SchedulerServer(model, max_batch=sched_batch, paged=paged,
+                              n_pages=int(os.environ.get("BLAMA_KV_PAGES", "0")))
+        print(f"continuous batching enabled (max_batch={sched_batch}"
+              f"{', paged KV' if paged else ''})")
     else:
         api = Server(model)
     srv = HttpServer(

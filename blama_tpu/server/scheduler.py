@@ -71,15 +71,45 @@ class _Slot:
 
 
 class ContinuousBatchingScheduler:
-    def __init__(self, model, max_batch: int = 8, ctx_size: int = 0):
+    """`paged=True` switches the KV store to the shared page pool
+    (ops/paged_kv.py): rows hold only the pages their context covers, and
+    admission is bound by free pages instead of reserving a full
+    ctx_size-slot row per request. `n_pages` sizes the pool (default: the
+    same HBM as the dense layout, i.e. max_batch rows' worth — shrink it to
+    oversubscribe). When the pool runs dry mid-decode the starved row
+    finishes early with what it has (documented policy; the reference's
+    analog is the hard "context limit reached" throw, Session.cpp:331-333).
+    """
+
+    def __init__(self, model, max_batch: int = 8, ctx_size: int = 0,
+                 paged: bool = False, page_size: int = 128, n_pages: int = 0):
         self.model = model
         cfg = model.config
         self.B = max_batch
         self.S = ctx_size or cfg.n_ctx_train
         kv_dtype = jnp.float32 if model.weights["tok_emb"].dtype == jnp.float32 else jnp.bfloat16
-        self.cache = kvc.KVCache.create(
-            cfg.n_layer, self.B, self.S, cfg.n_head_kv, cfg.head_dim_, kv_dtype
-        )
+        self.paged = paged
+        self._head = None  # head-of-line request awaiting pool space (FIFO)
+        if paged:
+            if cfg.is_moe:
+                raise ValueError("paged scheduler supports llama-family models only")
+            from ..ops import paged_kv as pkv
+
+            self._pkv = pkv
+            G = page_size
+            MP = -(-self.S // G)
+            self.S = MP * G  # logical row window, page-aligned
+            P = n_pages or (self.B * MP)
+            self.cache = pkv.PagedKVCache.create(
+                cfg.n_layer, self.B, P, G, MP, cfg.n_head_kv, cfg.head_dim_,
+                kv_dtype)
+            self._alloc = pkv.PageAllocator(P, G, MP, self.B)
+            self._pad_slot = P * G  # out-of-range -> dropped write
+        else:
+            self.cache = kvc.KVCache.create(
+                cfg.n_layer, self.B, self.S, cfg.n_head_kv, cfg.head_dim_, kv_dtype
+            )
+            self._pad_slot = self.S
         if cfg.is_moe:
             from ..models.moe import MoEStatic, forward as fwd
 
@@ -122,15 +152,20 @@ class ContinuousBatchingScheduler:
 
     def run_until_idle(self) -> None:
         """Synchronous drain (for tests and batch jobs)."""
-        while not self._queue.empty() or any(
+        while not self._queue.empty() or self._head is not None or any(
                 s.request or s.verify for s in self._slots):
             self._iteration()
 
     # -- engine --------------------------------------------------------------
 
+    def _flat_slot(self, row: int, logical: int) -> int:
+        """Flat pool index of a row's logical slot (paged mode)."""
+        G = self._alloc.G
+        return int(self._alloc.tables[row, logical // G]) * G + logical % G
+
     def _run(self) -> None:
         while not self._stop.is_set():
-            if self._queue.empty() and not any(
+            if self._queue.empty() and self._head is None and not any(
                     s.request or s.verify for s in self._slots):
                 try:
                     req = self._queue.get(timeout=0.05)
@@ -139,13 +174,43 @@ class ContinuousBatchingScheduler:
                     continue
             self._iteration()
 
+    def _next_request(self):
+        """FIFO head with paged admission control: a request that does not
+        fit the free pool waits at the head (no overtaking, so admission
+        order — and therefore physical placement — is deterministic).
+        Requests larger than the whole pool are rejected outright."""
+        if self._head is None:
+            try:
+                self._head = self._queue.get_nowait()
+            except queue.Empty:
+                return None
+        if self.paged:
+            req = self._head
+            n_prompt = max(1, len(req.prompt or []))
+            if self._alloc.pages_for(n_prompt) + 1 > self._alloc.n_pages:
+                self._head = None
+                from ..utils.logging import scope_logger
+
+                scope_logger("scheduler").error(
+                    "request prompt (%d tokens) exceeds the KV pool; rejected",
+                    n_prompt)
+                if isinstance(req, VerifyRequest):
+                    if req.on_done:
+                        req.on_done(0.0)
+                elif req.on_done:
+                    req.on_done([])
+                return self._next_request()
+            if not self._alloc.can_admit(n_prompt):
+                return None  # wait for pages to free up
+        req, self._head = self._head, None
+        return req
+
     def _admit(self) -> None:
         for b, slot in enumerate(self._slots):
             if slot.request is not None or slot.verify is not None:
                 continue
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
+            req = self._next_request()
+            if req is None:
                 return
             slot.num_past = 0
             slot.generated = []
@@ -174,10 +239,16 @@ class ContinuousBatchingScheduler:
                 T = max(8, 1 << (len(part) - 1).bit_length())
                 toks = np.zeros((self.B, T), np.int32)
                 pos = np.zeros((self.B, T), np.int32)
-                sl = np.full((self.B, T), self.S, np.int32)  # drop everywhere
+                sl = np.full((self.B, T), self._pad_slot, np.int32)  # drop everywhere
                 toks[row, : len(part)] = part
                 pos[row, : len(part)] = np.arange(slot.num_past, slot.num_past + len(part))
-                sl[row, : len(part)] = np.arange(slot.num_past, slot.num_past + len(part))
+                if self.paged:
+                    flat = self._alloc.allocate_slots(row, len(part))
+                    assert flat is not None, "admission guaranteed the prompt's pages"
+                    self.cache = self.cache.with_table(self._alloc.tables)
+                    sl[row, : len(part)] = flat
+                else:
+                    sl[row, : len(part)] = np.arange(slot.num_past, slot.num_past + len(part))
                 logits, self.cache = self._step(
                     self.model.weights, jnp.asarray(toks), jnp.asarray(pos),
                     jnp.asarray(sl), self.cache,
@@ -209,10 +280,12 @@ class ContinuousBatchingScheduler:
         T = 8
         toks = np.zeros((self.B, T), np.int32)
         pos = np.zeros((self.B, T), np.int32)
-        sl = np.full((self.B, T), self.S, np.int32)
+        sl = np.full((self.B, T), self._pad_slot, np.int32)
         toks[row, 0] = last
         pos[row, 0] = slot.num_past - 1
-        sl[row, 0] = slot.num_past - 1  # same slot → overwrite with same value
+        # same slot → overwrite with same value (flat pool index when paged)
+        sl[row, 0] = (self._flat_slot(row, slot.num_past - 1)
+                      if self.paged else slot.num_past - 1)
         logits, self.cache = self._step(
             self.model.weights, jnp.asarray(toks), jnp.asarray(pos),
             jnp.asarray(sl), self.cache,
@@ -251,13 +324,24 @@ class ContinuousBatchingScheduler:
         with self.metrics.timer("decode_step"):
             toks = np.zeros((self.B, 1), np.int32)
             pos = np.zeros((self.B, 1), np.int32)
-            sl = np.full((self.B, 1), self.S, np.int32)
+            sl = np.full((self.B, 1), self._pad_slot, np.int32)
             for b in active:
                 slot = self._slots[b]
                 if slot.pending_token >= 0:
+                    if self.paged:
+                        flat = self._alloc.allocate_slots(b, 1)
+                        if flat is None:
+                            # pool dry: the starved row finishes early with
+                            # what it generated (class docstring policy)
+                            slot.pending_token = -1
+                            continue
+                        sl[b, 0] = flat[0]
+                    else:
+                        sl[b, 0] = slot.num_past
                     toks[b, 0] = slot.pending_token
                     pos[b, 0] = slot.num_past
-                    sl[b, 0] = slot.num_past
+            if self.paged:
+                self.cache = self.cache.with_table(self._alloc.tables)
             logits, self.cache = self._step(
                 self.model.weights, jnp.asarray(toks), jnp.asarray(pos),
                 jnp.asarray(sl), self.cache,
@@ -318,11 +402,24 @@ class ContinuousBatchingScheduler:
         ver = slot.verify
         agg = slot.aggregator
         generated = slot.generated
-        # free the row: clear its cache positions
-        self.cache = kvc.KVCache(
-            self.cache.k, self.cache.v,
-            self.cache.positions.at[row].set(-1),
-        )
+        # free the row: clear its cache positions (paged: release the pages
+        # and blank their pool positions so the next owner starts masked-out)
+        if self.paged:
+            import dataclasses
+
+            pages = self._alloc.free_row(row)
+            pos = self.cache.positions
+            if pages:
+                pos = pos.at[jnp.asarray(pages, jnp.int32)].set(-1)
+            self.cache = dataclasses.replace(
+                self.cache, positions=pos,
+                page_table=jnp.asarray(self._alloc.tables, jnp.int32))
+        else:
+            self.cache = kvc.KVCache(
+                self.cache.k, self.cache.v,
+                self.cache.positions.at[row].set(-1),
+                self.cache.k_scale, self.cache.v_scale,
+            )
         slot.request = None
         slot.verify = None
         slot.sampler = None

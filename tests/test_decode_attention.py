@@ -99,13 +99,20 @@ def test_yarn_effective_inv_freq_matches_rope_angles():
 
 
 def test_supports_geometry_gate():
+    # Mosaic lane rule (hardware lowering, not just interpret): the sequence
+    # block must be a multiple of 128 OR the whole [1, B*S] position row
     assert supports(512, 128, jnp.bfloat16)
-    assert supports(64, 64, jnp.int8)
-    assert not supports(48, 128, jnp.int8)   # no int8-tileable divisor
+    assert supports(384, 128, jnp.bfloat16)       # 128-block
+    assert supports(64, 64, jnp.int8)             # single 64-block == B*S
+    assert supports(32, 64, jnp.float32)          # single 32-block == B*S
+    assert not supports(48, 128, jnp.int8)        # 16/8 blocks don't lower
+    assert not supports(48, 128, jnp.float32)
     assert not supports(31, 128, jnp.float32)
-    assert supports(48, 128, jnp.float32)    # 16-block, f32 tile is 8
-    assert supports(48, 128, jnp.bfloat16)   # 16-block, bf16 tile is 16
-    assert supports(40, 64, jnp.float32)     # 8-block, f32 only
+    assert not supports(40, 64, jnp.float32)
+    # batched: the single-block escape hatch needs bs == B*S, so multi-row
+    # caches require a 128-multiple block
+    assert supports(256, 128, jnp.bfloat16, batch=4)
+    assert not supports(64, 64, jnp.int8, batch=4)
 
 
 def test_matches_xla_edited_position_map():

@@ -1,0 +1,274 @@
+"""Paged KV-cache tests: kernel/view bit-exactness vs the dense layout,
+physical-placement invariance, paged scheduler == dense scheduler == solo
+Session, page recycling under a tight pool, and pool-dry semantics
+(ops/paged_kv.py, ops/pallas/paged_attention.py, server/scheduler.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from blama_tpu.gguf import GGMLType
+from blama_tpu.ops.kv_cache import KVCache, quantize_kv
+from blama_tpu.ops.paged_kv import PagedKVCache, PageAllocator
+from blama_tpu.ops.pallas import decode_attention as da
+from blama_tpu.ops.pallas import paged_attention as pa
+from blama_tpu.runtime.model import Model, ModelParams
+from blama_tpu.runtime.sampler import SamplerParams
+from blama_tpu.server.scheduler import (ContinuousBatchingScheduler,
+                                        GenRequest, VerifyRequest)
+from blama_tpu.testing import write_tiny_llama
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pg") / "t.gguf")
+    write_tiny_llama(p, GGMLType.Q8_0)
+    m = Model(p)
+    yield m
+    m.close()
+
+
+# -- op level -----------------------------------------------------------------
+
+def _scrambled_pool(rng, B, Hkv, D, G, MP, P, lens, int8=False):
+    """Pool with rows on non-contiguous physical pages + its dense mirror."""
+    kp = jnp.asarray(rng.standard_normal((P, G, Hkv, D)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((P, G, Hkv, D)), jnp.float32)
+    pool_pos = np.full((P, G), -1, np.int32)
+    tables = np.full((B, MP), -1, np.int32)
+    tables[0, :3] = [7, 3, 11]
+    tables[1, :2] = [2, 9]
+    for b in range(B):
+        for s in range(lens[b]):
+            pool_pos[tables[b, s // G], s % G] = s
+    S = MP * G
+    kd = np.zeros((B, S, Hkv, D), np.float32)
+    vd = np.zeros((B, S, Hkv, D), np.float32)
+    posd = np.full((B, S), -1, np.int32)
+    for b in range(B):
+        for lp in range(MP):
+            if tables[b, lp] >= 0:
+                kd[b, lp * G:(lp + 1) * G] = np.asarray(kp[tables[b, lp]])
+                vd[b, lp * G:(lp + 1) * G] = np.asarray(vp[tables[b, lp]])
+        posd[b, :lens[b]] = np.arange(lens[b])
+    return (kp, vp, jnp.asarray(pool_pos), jnp.asarray(tables),
+            jnp.asarray(kd), jnp.asarray(vd), jnp.asarray(posd))
+
+
+def test_paged_decode_bitexact_vs_dense_scrambled_pages():
+    """Page size == the dense kernel's sequence block -> identical online-
+    softmax walk, so paged output is BIT-exact vs dense no matter where the
+    row's pages sit physically (placement invariance)."""
+    rng = np.random.default_rng(0)
+    B, H, Hkv, D, G, MP, P = 2, 8, 2, 64, 128, 3, 16  # S=384 -> dense block 128
+    lens = [300, 160]
+    kp, vp, pool_pos, tables, kd, vd, posd = _scrambled_pool(
+        rng, B, Hkv, D, G, MP, P, lens)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    q_pos = jnp.asarray([lens[0] - 1, lens[1] - 1], jnp.int32)
+    invf, ms = da.effective_inv_freq(D, D, 10000.0)
+
+    out_p = pa.paged_decode_attention(q, kp, vp, pool_pos, tables, q_pos,
+                                      invf, mscale=ms)
+    out_d = da.decode_attention(q, kd, vd, q_pos, posd, invf, mscale=ms)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_d))
+
+
+def test_paged_decode_int8_bitexact():
+    rng = np.random.default_rng(1)
+    B, H, Hkv, D, G, MP, P = 2, 8, 2, 64, 128, 3, 16
+    lens = [300, 160]
+    kp, vp, pool_pos, tables, kd, vd, posd = _scrambled_pool(
+        rng, B, Hkv, D, G, MP, P, lens)
+    kc, ks = quantize_kv(kp.reshape(1, P * G, Hkv, D))
+    vc, vs = quantize_kv(vp.reshape(1, P * G, Hkv, D))
+    kc, ks = kc.reshape(P, G, Hkv, D), ks.reshape(P, G, Hkv)
+    vc, vs = vc.reshape(P, G, Hkv, D), vs.reshape(P, G, Hkv)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    q_pos = jnp.asarray([lens[0] - 1, lens[1] - 1], jnp.int32)
+    invf, ms = da.effective_inv_freq(D, D, 10000.0)
+
+    out_p = pa.paged_decode_attention(q, kc, vc, pool_pos, tables, q_pos,
+                                      invf, k_scale=ks, v_scale=vs, mscale=ms)
+    # dense mirror of codes + scales
+    S = MP * G
+    kdq = np.zeros((B, S, Hkv, D), np.int8)
+    vdq = np.zeros((B, S, Hkv, D), np.int8)
+    ksd = np.zeros((B, S, Hkv), np.float32)
+    vsd = np.zeros((B, S, Hkv), np.float32)
+    tb = np.asarray(tables)
+    for b in range(B):
+        for lp in range(MP):
+            if tb[b, lp] >= 0:
+                kdq[b, lp * G:(lp + 1) * G] = np.asarray(kc[tb[b, lp]])
+                vdq[b, lp * G:(lp + 1) * G] = np.asarray(vc[tb[b, lp]])
+                ksd[b, lp * G:(lp + 1) * G] = np.asarray(ks[tb[b, lp]])
+                vsd[b, lp * G:(lp + 1) * G] = np.asarray(vs[tb[b, lp]])
+    out_d = da.decode_attention(q, jnp.asarray(kdq), jnp.asarray(vdq), q_pos,
+                                posd, invf, k_scale=jnp.asarray(ksd),
+                                v_scale=jnp.asarray(vsd), mscale=ms)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_d))
+
+
+def test_paged_prefill_bitexact_vs_dense():
+    rng = np.random.default_rng(2)
+    B, H, Hkv, D, G, MP, P = 2, 8, 2, 64, 128, 3, 16
+    lens = [300, 160]
+    kp, vp, pool_pos, tables, kd, vd, posd = _scrambled_pool(
+        rng, B, Hkv, D, G, MP, P, lens)
+    T = 16
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    qpos = np.stack([np.arange(lens[b] - T, lens[b]) for b in range(B)])
+    invf, ms = da.effective_inv_freq(D, D, 10000.0)
+
+    out_p = pa.paged_prefill_attention(q, kp, vp, pool_pos, tables,
+                                       jnp.asarray(qpos), invf, mscale=ms)
+    out_d = da.prefill_attention(q, kd, vd, jnp.asarray(qpos), posd, invf,
+                                 mscale=ms)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_d))
+
+
+def test_paged_decode_edited_position_map():
+    """Context-shift-style position edits live in the POOL position map; the
+    paged kernel must honor them exactly like the dense kernel (ADVICE r1 #4
+    analog for the paged path)."""
+    rng = np.random.default_rng(3)
+    B, H, Hkv, D, G, MP, P = 2, 8, 2, 64, 128, 3, 16
+    lens = [300, 160]
+    kp, vp, pool_pos, tables, kd, vd, posd = _scrambled_pool(
+        rng, B, Hkv, D, G, MP, P, lens)
+    # simulate seq_rm(5,20) + seq_add(20,300,-15) on row 0 in both layouts
+    pp = np.asarray(pool_pos).copy()
+    pd = np.asarray(posd).copy()
+    tb = np.asarray(tables)
+    for s in range(lens[0]):
+        page, off = tb[0, s // G], s % G
+        v = pp[page, off]
+        if 5 <= v < 20:
+            pp[page, off] = -1
+        elif v >= 20:
+            pp[page, off] = v - 15
+    m1 = (pd[0] >= 5) & (pd[0] < 20)
+    m2 = pd[0] >= 20
+    pd[0][m1] = -1
+    pd[0][m2] -= 15
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    q_pos = jnp.asarray([lens[0] - 1 - 15, lens[1] - 1], jnp.int32)
+    invf, ms = da.effective_inv_freq(D, D, 10000.0)
+    out_p = pa.paged_decode_attention(q, kp, vp, jnp.asarray(pp), tables,
+                                      q_pos, invf, mscale=ms)
+    out_d = da.decode_attention(q, kd, vd, q_pos, jnp.asarray(pd), invf,
+                                mscale=ms)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_d))
+
+
+# -- allocator ----------------------------------------------------------------
+
+def test_page_allocator_recycles_deterministically():
+    a = PageAllocator(n_pages=4, page_size=128, max_pages_per_row=2, n_rows=2)
+    s0 = a.allocate_slots(0, 130)   # pages 0,1
+    assert list(a.tables[0][:2]) == [0, 1]
+    s1 = a.allocate_slots(1, 10)    # page 2
+    assert a.tables[1][0] == 2
+    assert a.free_pages == 1
+    # row window cap: row 1 may grow to 2 pages only
+    assert a.allocate_slots(1, 128 * 2) is None
+    freed = a.free_row(0)
+    assert sorted(freed) == [0, 1] and a.free_pages == 3
+    # lowest-physical-first reuse
+    s2 = a.allocate_slots(0, 1)
+    assert a.tables[0][0] == 0
+    # flat indices are page*G + offset
+    assert s0[0] == 0 and s0[129] == 1 * 128 + 1 and s1[0] == 2 * 128
+
+
+def test_pool_exhaustion_returns_none():
+    a = PageAllocator(n_pages=2, page_size=128, max_pages_per_row=4, n_rows=1)
+    assert a.allocate_slots(0, 256) is not None
+    assert a.allocate_slots(0, 1) is None  # pool dry
+    assert not a.can_admit(1)              # needs 1 page + 1 headroom
+
+
+# -- scheduler ----------------------------------------------------------------
+
+PROMPTS = ["hello world", "the quick brown fox", "a",
+           "verification is the product"]
+
+
+def _run_sched(model, paged, n_pages=0, max_tokens=8):
+    sched = ContinuousBatchingScheduler(model, max_batch=2, ctx_size=256,
+                                        paged=paged, n_pages=n_pages)
+    outs = {}
+    for i, pr in enumerate(PROMPTS):
+        toks = model.vocab.tokenize(pr, True, True)
+        sched.submit(GenRequest(
+            prompt=toks, max_tokens=max_tokens,
+            sampler_params=SamplerParams(temp=0.0),
+            on_done=lambda g, i=i: outs.__setitem__(i, [x.token for x in g])))
+    sched.run_until_idle()
+    return outs
+
+
+def test_paged_scheduler_matches_dense(model):
+    dense = _run_sched(model, paged=False)
+    paged = _run_sched(model, paged=True)
+    assert dense == paged
+
+
+def test_paged_scheduler_tight_pool_recycles(model):
+    """A pool SMALLER than max_batch x ctx_size still serves every request
+    (admission by pages, page recycling across requests) with identical
+    greedy output — the capability the fixed-row layout lacks."""
+    dense = _run_sched(model, paged=False)
+    tight = _run_sched(model, paged=True, n_pages=5)  # 2 rows x 2 pages + 1
+    assert tight == dense
+
+
+def test_paged_verify_row_scores_one(model):
+    """Dense-scheduler prover -> paged-scheduler verifier replay: 1.0."""
+    toks = model.vocab.tokenize(PROMPTS[1], True, True)
+    holder = {}
+    sd = ContinuousBatchingScheduler(model, max_batch=2, ctx_size=256)
+    sd.submit(GenRequest(prompt=toks, max_tokens=8,
+                         sampler_params=SamplerParams(temp=0.0),
+                         on_done=lambda g: holder.__setitem__("p", g)))
+    sd.run_until_idle()
+    sp = ContinuousBatchingScheduler(model, max_batch=2, ctx_size=256,
+                                     paged=True)
+    sp.submit(VerifyRequest(prompt=toks, predictions=holder["p"],
+                            on_done=lambda s: holder.__setitem__("s", s)))
+    sp.run_until_idle()
+    assert holder["s"] == 1.0
+
+
+def test_paged_pool_dry_finishes_early(model):
+    """When the pool runs out mid-decode the starved row returns what it has
+    instead of raising (class docstring policy)."""
+    toks = model.vocab.tokenize("hello world", True, True)
+    # 1 row, 2-page pool, 128-slot pages; prompt fits page 1, decode crosses
+    # into page 2, then the pool is dry at slot 256 -> early finish
+    sched = ContinuousBatchingScheduler(model, max_batch=1, ctx_size=256,
+                                        paged=True, n_pages=2)
+    holder = {}
+    sched.submit(GenRequest(prompt=toks, max_tokens=10_000,
+                            sampler_params=SamplerParams(temp=0.0),
+                            on_done=lambda g: holder.__setitem__(0, g)))
+    sched.run_until_idle()
+    n = len(holder[0])
+    assert 0 < n < 10_000
+    # row's slots are bounded by the pool: prompt + generated <= 256
+    assert len(toks) + n <= 256
+
+
+def test_paged_oversized_prompt_rejected(model):
+    sched = ContinuousBatchingScheduler(model, max_batch=1, ctx_size=256,
+                                        paged=True, n_pages=2)
+    holder = {}
+    sched.submit(GenRequest(prompt=list(range(5, 300)), max_tokens=4,
+                            sampler_params=SamplerParams(temp=0.0),
+                            on_done=lambda g: holder.__setitem__(0, g)))
+    # needs 3 pages (+1 headroom) > 2-page pool -> rejected, empty result
+    sched.run_until_idle()
+    assert holder[0] == []
