@@ -211,9 +211,24 @@ def forward(params, st: MoEStatic, tokens, positions, slots, cache: KVCache, log
     eps = st.rms_eps
 
     x = params["tok_emb"][tokens]
-    new_positions = jax.vmap(lambda p, s, q: p.at[s].set(q, mode="drop"))(
-        cache.positions, slots, positions
-    )
+
+    # paged mode (scheduler pool, ops/paged_kv.py): flat-slot scatter writes
+    # + gathered per-row attention views, mirroring models/llama.py
+    from ..ops import paged_kv as pkv
+
+    paged = isinstance(cache, pkv.PagedKVCache)
+    if paged:
+        pool_shape = cache.positions.shape  # [P, G]
+        new_positions = cache.positions.reshape(-1).at[
+            slots.reshape(-1)].set(positions.reshape(-1), mode="drop"
+        ).reshape(pool_shape)
+        view_slots = pkv.view_slot_map(cache.page_table, cache.page_size)
+        mapped = jnp.repeat(cache.page_table >= 0, cache.page_size, axis=1)
+        pos_view = jnp.where(mapped, new_positions.reshape(-1)[view_slots], -1)
+    else:
+        new_positions = jax.vmap(lambda p, s, q: p.at[s].set(q, mode="drop"))(
+            cache.positions, slots, positions
+        )
 
     tpb = st.tp_blocks
     from ..ops.pallas.quant_matmul import qmm_blocked, qmm_nblocked
@@ -228,11 +243,21 @@ def forward(params, st: MoEStatic, tokens, positions, slots, cache: KVCache, log
         k = qmm_nblocked(h, p["wk"], tpb).reshape(B, T, Hkv, D)
         v = qmm_nblocked(h, p["wv"], tpb).reshape(B, T, Hkv, D)
         q = apply_rope(q, positions, st.rope_dim, st.freq_base, True)
-        write = jax.vmap(lambda c, s, n: c.at[s].set(n, mode="drop"))
-        k_l = write(k_l, slots, k)
-        v_l = write(v_l, slots, v)
-        attn = attention(q, k_l, v_l, positions, new_positions,
-                         rope_dim=st.rope_dim, freq_base=st.freq_base)
+        if paged:
+            flat = slots.reshape(-1)
+            k_l = k_l.reshape((-1,) + k_l.shape[2:]).at[flat].set(
+                k.reshape((-1, Hkv, D)), mode="drop").reshape(k_l.shape)
+            v_l = v_l.reshape((-1,) + v_l.shape[2:]).at[flat].set(
+                v.reshape((-1, Hkv, D)), mode="drop").reshape(v_l.shape)
+            k_use, v_use, _, _ = pkv.gather_view(cache, k_l, v_l)
+            attn = attention(q, k_use, v_use, positions, pos_view,
+                             rope_dim=st.rope_dim, freq_base=st.freq_base)
+        else:
+            write = jax.vmap(lambda c, s, n: c.at[s].set(n, mode="drop"))
+            k_l = write(k_l, slots, k)
+            v_l = write(v_l, slots, v)
+            attn = attention(q, k_l, v_l, positions, new_positions,
+                             rope_dim=st.rope_dim, freq_base=st.freq_base)
         x = x + qmm_blocked(attn.reshape(B, T, H * D), p["wo"], tpb)
 
         h2 = rms_norm(x, p["ffn_norm"], eps)
@@ -250,7 +275,12 @@ def forward(params, st: MoEStatic, tokens, positions, slots, cache: KVCache, log
     else:
         logits = last_h.astype(jnp.float32) @ params["output"].astype(jnp.float32)
     logits = logits[:, : params["tok_emb"].shape[0]]
-    return logits, KVCache(k_new, v_new, new_positions)
+    if paged:
+        new_cache = pkv.PagedKVCache(k_new, v_new, new_positions,
+                                     cache.page_table)
+    else:
+        new_cache = KVCache(k_new, v_new, new_positions)
+    return logits, new_cache
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(5,))

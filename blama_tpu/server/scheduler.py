@@ -91,8 +91,6 @@ class ContinuousBatchingScheduler:
         self.paged = paged
         self._head = None  # head-of-line request awaiting pool space (FIFO)
         if paged:
-            if cfg.is_moe:
-                raise ValueError("paged scheduler supports llama-family models only")
             from ..ops import paged_kv as pkv
 
             self._pkv = pkv

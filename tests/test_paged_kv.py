@@ -262,6 +262,22 @@ def test_paged_pool_dry_finishes_early(model):
     assert len(toks) + n <= 256
 
 
+def test_paged_scheduler_moe(tmp_path):
+    """MoE models serve through the paged scheduler too (moe.forward paged
+    branch): paged greedy == dense greedy."""
+    from blama_tpu.testing import write_tiny_moe
+
+    p = str(tmp_path / "moe.gguf")
+    write_tiny_moe(p)
+    m = Model(p)
+    try:
+        dense = _run_sched(m, paged=False, max_tokens=6)
+        paged = _run_sched(m, paged=True, max_tokens=6)
+        assert dense == paged
+    finally:
+        m.close()
+
+
 def test_paged_oversized_prompt_rejected(model):
     sched = ContinuousBatchingScheduler(model, max_batch=1, ctx_size=256,
                                         paged=True, n_pages=2)
