@@ -92,6 +92,15 @@ class GGUFReader:
             self._mm = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
         except ValueError:  # empty file
             raise ValueError(f"not a GGUF file: {self.path}") from None
+        # Tensor loads walk the data section in GGUF (≈ random) order; cold
+        # page-ins at that granularity measured ~7 MB/s on this host vs
+        # ~1.6 GB/s sequential. Tell the VM to read ahead aggressively
+        # (llama.cpp's mmap prefetch analog, llama-mmap.cpp).
+        try:
+            self._mm.madvise(mmap.MADV_WILLNEED)
+            self._mm.madvise(mmap.MADV_SEQUENTIAL)
+        except (AttributeError, OSError):  # madvise not available/permitted
+            pass
         cur = _Cursor(self._mm)
         magic = cur.unpack("<I")
         if magic != GGUF_MAGIC:

@@ -37,7 +37,50 @@ from .config import ModelConfig
 from .llama import _act
 
 
-def load_moe_params(reader: GGUFReader, cfg: ModelConfig, dtype=jnp.float32, mesh=None) -> dict[str, Any]:
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantExperts:
+    """Expert bank kept 4-bit packed: stacked per-expert QuantTensor fields.
+
+    Serving MoE experts dense-bf16 costs 16 b/w of HBM capacity AND streams
+    at 16 b/w; packed banks cut both ~3x (5-6 b/w). `expert(e)` materializes
+    one routed expert's packed view via a dynamic gather (reads only that
+    expert's bytes + one copy) and hands it to the existing fused kernels —
+    the decode path then reads k routed experts' QUANTIZED bytes per layer
+    instead of the bf16 bank. (A scalar-prefetch in-kernel expert
+    indirection, as in ops/pallas/paged_attention.py, would drop the copy —
+    noted in NEXT.md.)"""
+
+    codes: jnp.ndarray   # [Ne, K/2, N_pad] u8
+    scales: jnp.ndarray  # [Ne, K/32, N_pad] f32 (exact) / bf16 (a8)
+    mins: jnp.ndarray    # [Ne, K/32, N_pad]
+    n_out: int = 0
+    a8: bool = False     # dispatch: exact dequant kernel vs SWAR int8-MXU
+
+    def tree_flatten(self):
+        return (self.codes, self.scales, self.mins), (self.n_out, self.a8)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, n_out=aux[0], a8=aux[1])
+
+    @property
+    def n_expert(self) -> int:
+        return self.codes.shape[0]
+
+    def expert(self, e):
+        from ..ops.pallas.quant_matmul import QuantTensor, QuantTensorA8S
+
+        def take(a):
+            return jax.lax.dynamic_index_in_dim(a, e, 0, keepdims=False)
+
+        cls = QuantTensorA8S if self.a8 else QuantTensor
+        return cls(take(self.codes), take(self.scales), take(self.mins),
+                   n_out=self.n_out)
+
+
+def load_moe_params(reader: GGUFReader, cfg: ModelConfig, dtype=jnp.float32, mesh=None,
+                    fused_quant: bool | str = False) -> dict[str, Any]:
     def get_t(name):
         return reader.tensor_float(name).T.copy()
 
@@ -48,6 +91,10 @@ def load_moe_params(reader: GGUFReader, cfg: ModelConfig, dtype=jnp.float32, mes
         # numpy shape (n_expert, F_out, F_in) → transpose per expert to (n_expert, F_in, F_out)
         w = reader.tensor_float(name)
         return np.ascontiguousarray(w.transpose(0, 2, 1))
+
+    if fused_quant and mesh is None:
+        return _load_moe_fused(reader, cfg, dtype, fused_quant, get_t, get_v,
+                               get_exps)
 
     layers: dict[str, list] = {
         k: [] for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
@@ -79,6 +126,72 @@ def load_moe_params(reader: GGUFReader, cfg: ModelConfig, dtype=jnp.float32, mes
     if v_pad != v:
         params["output"] = np.pad(params["output"], ((0, 0), (0, v_pad - v)))
     return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
+
+
+def _load_moe_fused(reader, cfg, dtype, fused_quant, get_t, get_v, get_exps):
+    """4-bit-packed MoE load: attention projections as QuantTensors, expert
+    banks as stacked QuantExperts (list-of-dicts layers = unrolled layer loop,
+    same rationale as load_llama_params' quantized modes). Single-chip
+    serving only — the mesh path keeps dense dequant (caller gates)."""
+    from ..gguf.constants import GGMLType
+    from ..ops.pallas.quant_matmul import repack_q4k_a8s, repack_q4k_for_tpu
+
+    a8 = fused_quant == "a8"
+    repack = repack_q4k_a8s if a8 else repack_q4k_for_tpu
+
+    def get_q(name):
+        info = reader.tensors[name]
+        if info.ggml_type != GGMLType.Q4_K:
+            return jnp.asarray(get_t(name), dtype)
+        return repack(reader.tensor_bytes(name), info.ne[1], info.ne[0])
+
+    def get_bank(name):
+        info = reader.tensors[name]
+        if info.ggml_type != GGMLType.Q4_K:
+            return jnp.asarray(get_exps(name), dtype)
+        K, N, Ne = info.ne  # ggml order: (n_in, out_per_expert, n_expert)
+        raw = np.frombuffer(reader.tensor_bytes(name), np.uint8)
+        row_bytes = (K // 256) * 144  # Q4_K superblock = 144 B / 256 weights
+        per = N * row_bytes
+        parts = [repack(raw[e * per:(e + 1) * per], N, K) for e in range(Ne)]
+        return QuantExperts(
+            jnp.stack([p.codes for p in parts]),
+            jnp.stack([p.scales for p in parts]),
+            jnp.stack([p.mins for p in parts]),
+            n_out=parts[0].n_out, a8=a8)
+
+    layers = []
+    for i in range(cfg.n_layer):
+        layers.append({
+            "attn_norm": jnp.asarray(get_v(f"blk.{i}.attn_norm.weight"), dtype),
+            "wq": get_q(f"blk.{i}.attn_q.weight"),
+            "wk": get_q(f"blk.{i}.attn_k.weight"),
+            "wv": get_q(f"blk.{i}.attn_v.weight"),
+            "wo": get_q(f"blk.{i}.attn_output.weight"),
+            "ffn_norm": jnp.asarray(get_v(f"blk.{i}.ffn_norm.weight"), dtype),
+            "router": jnp.asarray(get_t(f"blk.{i}.ffn_gate_inp.weight"), dtype),
+            "w_gate_exps": get_bank(f"blk.{i}.ffn_gate_exps.weight"),
+            "w_up_exps": get_bank(f"blk.{i}.ffn_up_exps.weight"),
+            "w_down_exps": get_bank(f"blk.{i}.ffn_down_exps.weight"),
+        })
+
+    params = {
+        "tok_emb": jnp.asarray(get_v("token_embd.weight"), dtype),
+        "out_norm": jnp.asarray(get_v("output_norm.weight"), dtype),
+        "layers": layers,
+    }
+    if "output.weight" in reader.tensors:
+        params["output"] = get_q("output.weight")
+    else:
+        params["output"] = jnp.asarray(
+            np.ascontiguousarray(get_v("token_embd.weight").T), dtype)
+    if not hasattr(params["output"], "n_out"):
+        v = params["output"].shape[1]
+        v_pad = -(-v // 128) * 128
+        if v_pad != v:
+            params["output"] = jnp.pad(params["output"],
+                                       ((0, 0), (0, v_pad - v)))
+    return params
 
 
 @dataclass(frozen=True)
@@ -141,8 +254,70 @@ def moe_ffn_ragged(h: jnp.ndarray, p: dict, st: MoEStatic) -> jnp.ndarray:
     return jnp.einsum("btke,btk->bte", y, gate_w).astype(h.dtype)
 
 
+def moe_ffn_quant(h: jnp.ndarray, p: dict, st: MoEStatic) -> jnp.ndarray:
+    """Routed FFN over 4-bit-packed expert banks (QuantExperts).
+
+    Solo decode (B·T == 1) gathers the k ROUTED experts' packed tensors and
+    runs the fused kernels on them — per layer it reads k experts' quantized
+    bytes instead of the whole bf16 bank (Mixtral 8x2 at 5-6 b/w: ~10x less
+    decode HBM traffic than dense-bf16-all-experts). Batched/prefill rows
+    take the masked all-expert path (batch-invariant, streams each bank once
+    per chunk, still quantized).
+
+    Decode-vs-prefill bit-exactness: both accumulate per-expert outputs in
+    ASCENDING expert order into an f32 accumulator; the masked path's
+    unrouted terms are exactly 0.0·d_e == 0.0 and y + 0.0 == y bitwise, so a
+    token's logits match whether it was decoded solo (routed) or replayed
+    inside a teacher-forced chunk (masked) — the fillCtx verification
+    contract (tested in tests/test_moe.py)."""
+    from ..ops.pallas.quant_matmul import qmm
+
+    act = _act(st.act_fn)
+    B, T, E = h.shape
+    k = st.n_expert_used
+    # Routing must be REPRODUCIBLE across program contexts: the router dot is
+    # the one non-kernel matmul on this path, and both bf16 dots (emulation
+    # precision differs inside loop bodies vs straight-line code) and f32
+    # dots (gemm M-blocking shifts row sums between T=1 decode and padded
+    # T=8 steps) carry sub-ulp noise that can flip a near-tied top-k expert
+    # choice. Computing in f32 and snapping the logits to the bf16 grid puts
+    # selection (and gate_w) far above both noise floors, so a token routes
+    # identically whether decoded solo, in a padded bucket, or in the fused
+    # loop — the verification contract (tests/test_moe.py).
+    router_logits = jnp.dot(
+        h.astype(jnp.float32), p["router"].astype(jnp.float32)
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    top_vals, top_idx = jax.lax.top_k(router_logits, k)
+    gate_w = jax.nn.softmax(top_vals.astype(jnp.float32), axis=-1)  # [B,T,k]
+    hf = h.reshape(B * T, E)
+
+    def expert_ffn(e):
+        g = qmm(hf, p["w_gate_exps"].expert(e))
+        u = qmm(hf, p["w_up_exps"].expert(e))
+        return qmm((act(g) * u).astype(h.dtype), p["w_down_exps"].expert(e))
+
+    if B * T == 1:
+        eids = top_idx.reshape(k)
+        gw = gate_w.reshape(k)
+        order = jnp.argsort(eids)  # ascending ids = masked accumulation order
+        eids, gw = eids[order], gw[order]
+        y = jnp.zeros((1, E), jnp.float32)
+        for j in range(k):
+            y = y + gw[j] * expert_ffn(eids[j]).astype(jnp.float32)
+        return y.reshape(B, T, E).astype(h.dtype)
+
+    onehot = jax.nn.one_hot(top_idx, st.n_expert, dtype=jnp.float32)
+    mix = jnp.einsum("btke,btk->bte", onehot, gate_w).reshape(B * T, st.n_expert)
+    y = jnp.zeros((B * T, E), jnp.float32)
+    for e in range(st.n_expert):
+        y = y + mix[:, e:e + 1] * expert_ffn(e).astype(jnp.float32)
+    return y.reshape(B, T, E).astype(h.dtype)
+
+
 def moe_ffn(h: jnp.ndarray, p: dict, st: MoEStatic) -> jnp.ndarray:
     """Routed expert FFN: h [B, T, E] → [B, T, E]."""
+    if isinstance(p["w_gate_exps"], QuantExperts):
+        return moe_ffn_quant(h, p, st)
     if st.ragged:
         return moe_ffn_ragged(h, p, st)
     act = _act(st.act_fn)
@@ -264,11 +439,29 @@ def forward(params, st: MoEStatic, tokens, positions, slots, cache: KVCache, log
         x = x + moe_ffn(h2, p, st)
         return x, (k_l, v_l)
 
-    x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (params["layers"], cache.k, cache.v))
+    if isinstance(params["layers"], (list, tuple)):
+        # unrolled layer loop (quantized modes): per-layer packed weights stay
+        # separate arrays so the Pallas kernels read codes in place — no
+        # scan-slice copies (see load_llama_params)
+        k_all, v_all = cache.k, cache.v
+        for li_, p_ in enumerate(params["layers"]):
+            x, (k_l, v_l) = layer_fn(x, (p_, k_all[li_], v_all[li_]))
+            k_all = k_all.at[li_].set(k_l)
+            v_all = v_all.at[li_].set(v_l)
+        k_new, v_new = k_all, v_all
+    else:
+        x, (k_new, v_new) = jax.lax.scan(
+            layer_fn, x, (params["layers"], cache.k, cache.v))
 
     last_h = jax.vmap(lambda xb, i: xb[i])(x, logits_index)
     last_h = rms_norm(last_h, params["out_norm"], eps)
-    if tpb:
+    from ..ops.pallas.quant_matmul import QuantTensor
+
+    if isinstance(params["output"], QuantTensor):
+        # packed lm head (covers the A8S subclass too)
+        logits = qmm_nblocked(last_h.astype(jnp.float32), params["output"],
+                              tpb)
+    elif tpb:
         logits = qmm_nblocked(last_h.astype(jnp.float32),
                               params["output"].astype(jnp.float32), tpb,
                               out_dtype=jnp.float32)

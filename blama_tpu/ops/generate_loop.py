@@ -83,6 +83,38 @@ def greedy_generate(
     )
 
 
+@partial(jax.jit, static_argnums=(0,))
+def teacher_forced(
+    st: "llama_mod.LlamaStatic",
+    params,
+    cache: KVCache,
+    tokens: jnp.ndarray,    # [B, n] claimed tokens to force
+    start_pos: jnp.ndarray, # [B] next position (= slot) per row
+):
+    """Teacher-forced decode loop: feed the given tokens one per step and
+    capture each step's full logits — fillCtx (Session.cpp:231-244) as ONE
+    device program. The scan body is continue_greedy's with the argmax
+    replaced by indexing, so a verifier replaying a fast-loop prover's
+    claim executes the same per-step program shape (loop-context numerics
+    match, unlike replaying through the step path on backends whose fusion
+    differs between loop and straight-line code). Returns
+    (all_logits [B, n, V] f32, cache)."""
+    B, n = tokens.shape
+    fwd = _forward_for(st)
+
+    def body(carry, tok):
+        cache, pos = carry
+        logits2, cache = fwd(
+            params, st, tok[:, None], pos[:, None], pos[:, None],
+            cache, jnp.zeros((B,), jnp.int32),
+        )
+        return (cache, pos + 1), logits2
+
+    (cache, _), all_logits = jax.lax.scan(
+        body, (cache, start_pos), tokens.swapaxes(0, 1))
+    return all_logits.swapaxes(0, 1), cache
+
+
 @partial(jax.jit, static_argnums=(0, 5))
 def continue_greedy(
     st: "llama_mod.LlamaStatic",

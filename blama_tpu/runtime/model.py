@@ -93,8 +93,19 @@ class Model:
             if self.config.is_moe:
                 from ..models.moe import load_moe_params
 
+                # MoE packed serving supports the exact (q4k_fused) and SWAR
+                # (q4k_a8) engines on a single chip; the mesh path and exotic
+                # layouts (k4/a8x) fall back to dense dequant
+                moe_fused = fused if fused in (True, "a8") else False
+                if fused and not moe_fused:
+                    from ..utils.logging import scope_logger
+
+                    scope_logger("model").warning(
+                        "dtype=%s unsupported for MoE expert banks; loading "
+                        "dense %s", self.params.dtype, dtype)
                 w = load_moe_params(self.reader, self.config, dtype,
-                                    mesh=self.params.mesh)
+                                    mesh=self.params.mesh,
+                                    fused_quant=moe_fused)
             else:
                 from ..models.llama import load_llama_params
 

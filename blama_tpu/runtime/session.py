@@ -321,10 +321,83 @@ class Session:
         return StreamGenerator(self, params)
 
     def fill_ctx(self, tokens: list[TokenPrediction]) -> list[TokenPrediction]:
-        """Teacher-forced replay for verification (Session.cpp:231-244)."""
+        """Teacher-forced replay for verification (Session.cpp:231-244).
+
+        When the instance allows the device loop, the claimed tokens replay
+        through `ops.generate_loop.teacher_forced` — the SAME scan program
+        shape the fast-greedy prover ran — so a fast-loop prover's captured
+        logits replay bit-exactly even on backends whose fusion differs
+        between loop bodies and straight-line step code (observed on the XLA
+        CPU backend with the quantized MoE engine). The step-by-step path
+        remains for edited layouts and is itself bit-exact vs step-path
+        provers."""
+        fast = self._try_fast_fill(tokens)
+        if fast is not None:
+            return fast
         result = []
         for tp in tokens:
             self.push_prompt([tp.token], [])
+            result.append(TokenPrediction(tp.token, self.get_logits_for(tp.logits)))
+        return result
+
+    def _try_fast_fill(self, tokens: list["TokenPrediction"]) -> list[TokenPrediction] | None:
+        """Device-loop teacher-forced replay (fill_ctx fast path).
+
+        Sampling parameters are irrelevant (tokens are forced, logits only
+        read), so eligibility is just: fast path enabled, llama/qwen/MoE
+        family, sequential slot layout, and the claim fits in context."""
+        inst = self._instance
+        if not inst.params.fast_greedy or not tokens:
+            return None
+        if self._params.ga_factor != 1:
+            return None
+        n = len(tokens)
+        if self._num_past + n >= inst.ctx_len or n > self._max_tokens:
+            return None
+        hp = inst.allocator.host_positions
+        if not (hp[: self._num_past] == np.arange(self._num_past)).all() or (
+            hp[self._num_past:] >= 0
+        ).any():
+            return None
+        cfg = inst.model.config
+        if cfg.arch not in ("llama", "mistral", "qwen2"):
+            return None
+        if inst.model.prefix_inputs_with_bos():
+            return None  # slow path interleaves BOS before every claim token
+        self._flush_pending()
+        # mirror the slow path's sampler side effects (push_prompt resets the
+        # chain per push — n resets ≡ one — then every token is accepted)
+        self._sampler.reset(reseed=True)
+        for tp in tokens:
+            self._sampler.accept(tp.token, accept_grammar=False)
+
+        import jax.numpy as jnp
+
+        from ..models.llama import LlamaStatic
+        from ..ops.generate_loop import teacher_forced
+
+        if cfg.is_moe:
+            from ..models.moe import MoEStatic
+
+            st = MoEStatic.of(getattr(inst, "step_config", cfg))
+        else:
+            st = LlamaStatic.of(getattr(inst, "step_config", cfg))
+        claim = jnp.asarray([[tp.token for tp in tokens]], jnp.int32)
+        all_logits, cache = teacher_forced(
+            st, inst.model.weights, inst.cache, claim,
+            jnp.asarray([self._num_past], jnp.int32))
+        lg = np.asarray(all_logits[0]).astype(np.float32)  # [n, V]
+        inst.cache = cache
+        new_past = self._num_past + n
+        inst.allocator.record(
+            np.arange(self._num_past, new_past, dtype=np.int32),
+            np.arange(self._num_past, new_past),
+        )
+        self._num_past = new_past
+        self._curr_token = TOKEN_INVALID
+        result = []
+        for i, tp in enumerate(tokens):
+            self._last_logits = lg[i]
             result.append(TokenPrediction(tp.token, self.get_logits_for(tp.logits)))
         return result
 

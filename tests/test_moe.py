@@ -160,3 +160,98 @@ def test_synthesize_moe_gguf_loads_and_generates(tmp_path):
     assert np.asarray(toks).shape == (1, 8)
     assert np.isfinite(np.asarray(tval)).all()
     m.close()
+
+
+# -- quantized expert banks (QuantExperts) ------------------------------------
+
+@pytest.fixture(scope="module")
+def quant_gguf(tmp_path_factory):
+    from blama_tpu.testing import synthesize_moe_gguf
+
+    p = str(tmp_path_factory.mktemp("moeq") / "mq.gguf")
+    synthesize_moe_gguf(p, "mixtral-debug")
+    return p
+
+
+@pytest.mark.parametrize("dt", ["q4k_fused", "q4k_a8"])
+def test_moe_quant_generate_and_replay_bitexact(quant_gguf, dt):
+    """4-bit-packed expert banks serve end-to-end, and a fast-loop prover's
+    claim replays bit-exactly through fill_ctx (the teacher-forced device
+    loop executes the prover's own program shape)."""
+    from blama_tpu.models.moe import QuantExperts
+    from blama_tpu.runtime.model import ModelParams
+
+    m = Model(quant_gguf, ModelParams(dtype=dt))
+    try:
+        assert isinstance(m.weights["layers"][0]["w_gate_exps"], QuantExperts)
+        inst = Instance(m, InstanceInitParams(ctx_size=64))
+        s = inst.start_session(SessionInitParams(seed=3, temperature=0.0))
+        s.set_initial_prompt(m.vocab.tokenize("hello quant experts", True, True))
+        preds = s.complete(CompleteParams(max_tokens=6))
+        inst.stop_session()
+
+        inst2 = Instance(m, InstanceInitParams(ctx_size=64))
+        s2 = inst2.start_session(SessionInitParams(seed=3, temperature=0.0))
+        s2.set_initial_prompt(m.vocab.tokenize("hello quant experts", True, True))
+        rep = s2.fill_ctx(preds)
+        inst2.stop_session()
+        for a, b in zip(preds, rep):
+            assert {t.token: t.logit for t in a.logits} == \
+                   {t.token: t.logit for t in b.logits}
+    finally:
+        m.close()
+
+
+def test_moe_quant_exact_engine_matches_dense_reference(quant_gguf):
+    """q4k_fused dequant values are exact, so greedy tokens agree with the
+    host-dequant dense f32 reference on this fixture."""
+    from blama_tpu.runtime.model import ModelParams
+
+    def toks_for(params):
+        m = Model(quant_gguf, params)
+        try:
+            inst = Instance(m, InstanceInitParams(ctx_size=64))
+            s = inst.start_session(SessionInitParams(seed=3, temperature=0.0))
+            s.set_initial_prompt(m.vocab.tokenize("hello quant experts", True, True))
+            out = [p.token for p in s.complete(CompleteParams(max_tokens=6))]
+            inst.stop_session()
+            return out
+        finally:
+            m.close()
+
+    assert toks_for(ModelParams(dtype="q4k_fused")) == \
+        toks_for(ModelParams(dtype="float32", moe_ragged=False))
+
+
+def test_moe_quant_routed_matches_padded_masked(quant_gguf):
+    """A T=1 decode (routed gather path) and the same token inside a padded
+    T=8 step (masked all-expert path) produce identical logits — ascending
+    expert-order accumulation + exact 0-weight no-ops (session decode
+    bucketing must not change verification numerics)."""
+    from blama_tpu.models.moe import MoEStatic, forward
+    from blama_tpu.ops.kv_cache import KVCache
+    from blama_tpu.runtime.model import ModelParams
+
+    m = Model(quant_gguf, ModelParams(dtype="q4k_fused"))
+    try:
+        cfg = m.config
+        st = MoEStatic.of(cfg)
+
+        def run(T):
+            cache = KVCache.create(cfg.n_layer, 1, 64, cfg.n_head_kv,
+                                   cfg.head_dim_, jnp.bfloat16)
+            toks = np.zeros((1, T), np.int32)
+            toks[0, 0] = 7
+            pos = np.zeros((1, T), np.int32)
+            sl = np.full((1, T), 64, np.int32)
+            sl[0, 0] = 0
+            lg, _ = jax.jit(
+                lambda p, t, q, s, c: forward(p, st, t, q, s, c,
+                                              jnp.zeros((1,), jnp.int32))
+            )(m.weights, jnp.asarray(toks), jnp.asarray(pos), jnp.asarray(sl),
+              cache)
+            return np.asarray(lg)
+
+        np.testing.assert_array_equal(run(1), run(8))
+    finally:
+        m.close()
