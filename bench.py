@@ -198,7 +198,14 @@ def main() -> None:
     # alone). q4k_a8 (SWAR int8-MXU, llama.cpp Q8_1-activation numerics) is
     # the fastest mode (102.5 tok/s vs 87.2 exact-dequant, BENCH_LOCAL.md);
     # smaller presets run fastest in bf16.
-    default_dtype = "q4k_a8" if preset == "llama3-8b" else "bfloat16"
+    # MoE presets default to packed expert banks (QuantExperts): 254 vs 22.5
+    # tok/s at mixtral-scaled (BENCH_LOCAL.md round 2)
+    if preset == "llama3-8b":
+        default_dtype = "q4k_a8"
+    elif preset in ("mixtral-scaled", "mixtral-debug"):
+        default_dtype = "q4k_fused"
+    else:
+        default_dtype = "bfloat16"
     wdtype = os.environ.get("BLAMA_BENCH_DTYPE", default_dtype)
     flash = os.environ.get("BLAMA_BENCH_FLASH", "1") == "1"
     kv_dtype = os.environ.get("BLAMA_BENCH_KV", "bfloat16")
