@@ -79,6 +79,36 @@ class QuantExperts:
                    n_out=self.n_out)
 
 
+def _repack_bank(raw: np.ndarray, K: int, N: int, Ne: int, a8: bool):
+    """All-experts-at-once Q4_K bank repack (NEXT.md perf #4).
+
+    One threaded native repack over the concatenated (Ne*N, K) matrix and a
+    single upload + on-device expert split, replacing Ne host repacks and
+    3*Ne small tunnel uploads per bank (the per-dispatch tunnel overhead
+    dominated a8 bank loads). Bit-identical to the per-expert path — expert
+    e's rows are rows e*N..(e+1)*N-1 of the combined matrix, so column
+    slices match; guarded by tests/test_moe.py. Returns None when per-expert
+    lane padding would differ (caller falls back to the loop)."""
+    from .. import native
+    from ..ops.pallas.quant_matmul import _widen_target
+
+    if N % 256 or _widen_target(N) != N or native.get_lib() is None:
+        return None
+    fast = native.native_repack_q4k(raw, Ne * N, K)
+    if fast is None:
+        return None
+    codes, scales, mins, _ = fast  # [K/2, Ne*N] u8, [K/32, Ne*N] f32 x2
+
+    def up(a, cast=None):
+        d = jnp.asarray(a)
+        d = d.reshape(d.shape[0], Ne, N).transpose(1, 0, 2)
+        return d if cast is None else d.astype(cast)
+
+    sdt = jnp.bfloat16 if a8 else None
+    return QuantExperts(up(codes), up(scales, sdt), up(mins, sdt),
+                        n_out=N, a8=a8)
+
+
 def load_moe_params(reader: GGUFReader, cfg: ModelConfig, dtype=jnp.float32, mesh=None,
                     fused_quant: bool | str = False) -> dict[str, Any]:
     def get_t(name):
@@ -151,6 +181,9 @@ def _load_moe_fused(reader, cfg, dtype, fused_quant, get_t, get_v, get_exps):
             return jnp.asarray(get_exps(name), dtype)
         K, N, Ne = info.ne  # ggml order: (n_in, out_per_expert, n_expert)
         raw = np.frombuffer(reader.tensor_bytes(name), np.uint8)
+        bank = _repack_bank(raw, K, N, Ne, a8)
+        if bank is not None:
+            return bank
         row_bytes = (K // 256) * 144  # Q4_K superblock = 144 B / 256 weights
         per = N * row_bytes
         parts = [repack(raw[e * per:(e + 1) * per], N, K) for e in range(Ne)]

@@ -255,3 +255,44 @@ def test_moe_quant_routed_matches_padded_masked(quant_gguf):
         np.testing.assert_array_equal(run(1), run(8))
     finally:
         m.close()
+
+
+@pytest.mark.parametrize("a8", [False, True])
+def test_moe_bank_repack_vectorized_matches_loop(quant_gguf, a8):
+    """The all-experts-at-once bank repack (_repack_bank: one native repack
+    over the concatenated (Ne*N, K) matrix + device split) is bit-identical
+    to the per-expert loop it replaces."""
+    from blama_tpu.gguf.constants import GGMLType
+    from blama_tpu.gguf.reader import GGUFReader
+    from blama_tpu.models.moe import _repack_bank
+    from blama_tpu.ops.pallas.quant_matmul import (repack_q4k_a8s,
+                                                   repack_q4k_for_tpu)
+
+    repack = repack_q4k_a8s if a8 else repack_q4k_for_tpu
+    r = GGUFReader(quant_gguf)
+    try:
+        name = "blk.0.ffn_gate_exps.weight"
+        info = r.tensors[name]
+        assert info.ggml_type == GGMLType.Q4_K
+        K, N, Ne = info.ne
+        raw = np.frombuffer(r.tensor_bytes(name), np.uint8).copy()
+        bank = _repack_bank(raw, K, N, Ne, a8)
+        assert bank is not None, "fast path should engage on this geometry"
+        assert bank.a8 == a8 and bank.n_out == N
+        per = N * (K // 256) * 144
+        for e in range(Ne):
+            p = repack(raw[e * per:(e + 1) * per], N, K)
+            np.testing.assert_array_equal(np.asarray(bank.codes[e]),
+                                          np.asarray(p.codes))
+            np.testing.assert_array_equal(
+                np.asarray(bank.scales[e]).view(np.uint16)
+                if a8 else np.asarray(bank.scales[e]),
+                np.asarray(p.scales).view(np.uint16)
+                if a8 else np.asarray(p.scales))
+            np.testing.assert_array_equal(
+                np.asarray(bank.mins[e]).view(np.uint16)
+                if a8 else np.asarray(bank.mins[e]),
+                np.asarray(p.mins).view(np.uint16)
+                if a8 else np.asarray(p.mins))
+    finally:
+        r.close()
