@@ -192,7 +192,11 @@ def _q4k_block_body(x_ref, codes_ref, scales_ref) -> jnp.ndarray:
     the upcast is required either way). The block may hold several
     superblocks; the lo/hi pairing is per 256-row superblock, so unpack
     slab-wise."""
-    codes = codes_ref[:].astype(jnp.int32)     # [kb·KT/2, NT]
+    return _q4k_block_math(x_ref[:], codes_ref[:], scales_ref[:])
+
+
+def _q4k_block_math(x, codes, scales) -> jnp.ndarray:
+    codes = codes.astype(jnp.int32)            # [kb·KT/2, NT]
     nt = codes.shape[1]
     kb = codes.shape[0] // (KT // 2)
     cs = codes.reshape(kb, KT // 2, nt)
@@ -200,11 +204,11 @@ def _q4k_block_body(x_ref, codes_ref, scales_ref) -> jnp.ndarray:
     hi = (cs >> 4) & 0xF
     q = jnp.concatenate([lo, hi], axis=1).reshape(kb * KT, nt)
 
-    scales = scales_ref[:].astype(jnp.float32)  # [kb·KT/32, NT]
+    scales = scales.astype(jnp.float32)        # [kb·KT/32, NT]
     q3 = q.astype(jnp.float32).reshape(kb * KT // GROUP, GROUP, nt)
     w = (q3 * scales[:, None, :]).reshape(kb * KT, nt)
 
-    x = x_ref[:].astype(jnp.float32)           # [B, kb·KT]
+    x = x.astype(jnp.float32)                  # [B, kb·KT]
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
 
@@ -633,11 +637,14 @@ def _a8s_planes(xq: jnp.ndarray, kb: int):
 def _a8s_block_body(planes_lo_ref, planes_hi_ref, xs_ref, codes_ref,
                     scales_ref) -> jnp.ndarray:
     """One K-slab of the SWAR kernel: int8 MXU dots + scale combine → [B, bn]."""
-    w32 = pltpu.bitcast(codes_ref[:], jnp.int32)        # [kb*KT/8, bn]
+    return _a8s_block_math(planes_lo_ref[:], planes_hi_ref[:], xs_ref[:],
+                           codes_ref[:], scales_ref[:])
+
+
+def _a8s_block_math(pl_lo, pl_hi, xs_arr, codes, scales) -> jnp.ndarray:
+    w32 = pltpu.bitcast(codes, jnp.int32)               # [kb*KT/8, bn]
     lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)      # [kb*KT/2, bn]
     hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
-    pl_lo = planes_lo_ref[:]                            # i8 [P*B, kb*KT/2]
-    pl_hi = planes_hi_ref[:]
     PB = pl_lo.shape[0]
     bn = lo.shape[1]
     kb = lo.shape[0] // (KT // 2)
@@ -647,8 +654,8 @@ def _a8s_block_body(planes_lo_ref, planes_hi_ref, xs_ref, codes_ref,
                                 preferred_element_type=jnp.int32)
     ip_hi = jax.lax.dot_general(pl_hi, hi, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-    ws = scales_ref[:].astype(jnp.float32).reshape(kb, 8, bn)
-    xs = xs_ref[:].astype(jnp.float32).reshape(kb, 8, B)
+    ws = scales.astype(jnp.float32).reshape(kb, 8, bn)
+    xs = xs_arr.astype(jnp.float32).reshape(kb, 8, B)
     acc = jnp.sum(ip_lo.astype(jnp.float32).reshape(P, B, bn)
                   * ws[:, :4].reshape(P, 1, bn) * xs[:, :4].reshape(P, B, 1),
                   axis=0)

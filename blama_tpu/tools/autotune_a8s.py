@@ -29,13 +29,14 @@ def _pack(K: int, N: int) -> qm.QuantTensorA8S:
     return qm.repack_q4k_a8s(data, N, K)
 
 
-ITERS = 64
+N_SHORT, N_LONG = 64, 512
 
 
 def _time(w, xs, bn, kb):
-    """ms per kernel call: device-side scan over ITERS distinct activations
-    (loop-carried scalar dependency — nothing can be hoisted or elided),
-    same harness as tools/profile_step.py piece microbenches."""
+    """Seconds per kernel call via a two-length slope: device-side scans over
+    N_SHORT and N_LONG distinct activations (loop-carried scalar dependency —
+    nothing can be hoisted or elided); the difference cancels the ~23 ms
+    fixed tunnel-dispatch cost that would otherwise swamp sub-ms kernels."""
     from functools import partial
 
     @partial(jax.jit, static_argnums=(2, 3))
@@ -46,13 +47,17 @@ def _time(w, xs, bn, kb):
         acc, _ = jax.lax.scan(body, jnp.float32(0), xs)
         return acc
 
-    np.asarray(loop(w, xs, bn, kb))  # compile+settle
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(loop(w, xs, bn, kb))
-        best = min(best, time.perf_counter() - t0)
-    return best / ITERS
+    def best_of(n, reps=3):
+        xn = xs[:n]
+        np.asarray(loop(w, xn, bn, kb))  # compile+settle
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(loop(w, xn, bn, kb))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (best_of(N_LONG) - best_of(N_SHORT)) / (N_LONG - N_SHORT)
 
 
 def main():
@@ -70,7 +75,7 @@ def main():
     for name, (K, N) in shapes.items():
         w = _pack(K, N)
         xs = jnp.asarray(np.random.default_rng(1).standard_normal(
-            (ITERS, B, K)), jnp.bfloat16)
+            (N_LONG, B, K)), jnp.bfloat16)
         bytes_w = K * N // 2 + (K // 32) * N * 4  # codes + bf16 scales+mins
         best = None
         for kb in (2, 4, 8, 16):
