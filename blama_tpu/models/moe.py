@@ -100,9 +100,14 @@ def _repack_bank(raw: np.ndarray, K: int, N: int, Ne: int, a8: bool):
     codes, scales, mins, _ = fast  # [K/2, Ne*N] u8, [K/32, Ne*N] f32 x2
 
     def up(a, cast=None):
+        if cast is not None:
+            # host-side bf16 cast: the tunnel upload moves half the bytes
+            # (same rationale as repack_q4k_a8s)
+            import ml_dtypes
+
+            a = a.astype(ml_dtypes.bfloat16)
         d = jnp.asarray(a)
-        d = d.reshape(d.shape[0], Ne, N).transpose(1, 0, 2)
-        return d if cast is None else d.astype(cast)
+        return d.reshape(d.shape[0], Ne, N).transpose(1, 0, 2)
 
     sdt = jnp.bfloat16 if a8 else None
     return QuantExperts(up(codes), up(scales, sdt), up(mins, sdt),
@@ -287,15 +292,25 @@ def moe_ffn_ragged(h: jnp.ndarray, p: dict, st: MoEStatic) -> jnp.ndarray:
     return jnp.einsum("btke,btk->bte", y, gate_w).astype(h.dtype)
 
 
+def _bank_mm(hf: jnp.ndarray, bank: "QuantExperts", eids) -> jnp.ndarray:
+    """hf [R, K] against bank[eids[j]] → [n_sel, R, n_out] f32, read in place
+    via scalar-prefetch expert indirection (no gather copy)."""
+    from ..ops.pallas.quant_matmul import bank_matmul
+
+    out = bank_matmul(hf, bank.codes, bank.scales, bank.mins, eids, bank.a8)
+    return out[..., : bank.n_out]
+
+
 def moe_ffn_quant(h: jnp.ndarray, p: dict, st: MoEStatic) -> jnp.ndarray:
     """Routed FFN over 4-bit-packed expert banks (QuantExperts).
 
-    Solo decode (B·T == 1) gathers the k ROUTED experts' packed tensors and
-    runs the fused kernels on them — per layer it reads k experts' quantized
-    bytes instead of the whole bf16 bank (Mixtral 8x2 at 5-6 b/w: ~10x less
-    decode HBM traffic than dense-bf16-all-experts). Batched/prefill rows
-    take the masked all-expert path (batch-invariant, streams each bank once
-    per chunk, still quantized).
+    Solo decode (B·T == 1) runs the fused bank kernels directly on the k
+    ROUTED experts' packed bytes (scalar-prefetch indirection — per layer it
+    reads exactly k experts' quantized bytes from HBM, no gathered copy;
+    Mixtral 8x2 at 5-6 b/w: ~10x less decode HBM traffic than
+    dense-bf16-all-experts). Batched/prefill rows take the masked all-expert
+    path (batch-invariant, streams each bank once per chunk, still
+    quantized, same bank kernels at eids=[e]).
 
     Decode-vs-prefill bit-exactness: both accumulate per-expert outputs in
     ASCENDING expert order into an f32 accumulator; the masked path's
@@ -303,8 +318,6 @@ def moe_ffn_quant(h: jnp.ndarray, p: dict, st: MoEStatic) -> jnp.ndarray:
     token's logits match whether it was decoded solo (routed) or replayed
     inside a teacher-forced chunk (masked) — the fillCtx verification
     contract (tested in tests/test_moe.py)."""
-    from ..ops.pallas.quant_matmul import qmm
-
     act = _act(st.act_fn)
     B, T, E = h.shape
     k = st.n_expert_used
@@ -324,20 +337,30 @@ def moe_ffn_quant(h: jnp.ndarray, p: dict, st: MoEStatic) -> jnp.ndarray:
     gate_w = jax.nn.softmax(top_vals.astype(jnp.float32), axis=-1)  # [B,T,k]
     hf = h.reshape(B * T, E)
 
-    def expert_ffn(e):
-        g = qmm(hf, p["w_gate_exps"].expert(e))
-        u = qmm(hf, p["w_up_exps"].expert(e))
-        return qmm((act(g) * u).astype(h.dtype), p["w_down_exps"].expert(e))
-
     if B * T == 1:
         eids = top_idx.reshape(k)
         gw = gate_w.reshape(k)
         order = jnp.argsort(eids)  # ascending ids = masked accumulation order
         eids, gw = eids[order], gw[order]
+        # one dispatch per bank over all k routed experts, packed bytes read
+        # in place: g/u rows share the token input; the down bank sees one
+        # input row PER expert, so its kernel computes a [k, k, E] block and
+        # row j of expert j is the routed product (B·T==1 ⇒ k extra tiny-dot
+        # rows, zero extra HBM)
+        g = _bank_mm(hf, p["w_gate_exps"], eids)        # [k, 1, F]
+        u = _bank_mm(hf, p["w_up_exps"], eids)
+        mid = (act(g) * u).astype(h.dtype)[:, 0, :]     # [k, F]
+        d = _bank_mm(mid, p["w_down_exps"], eids)       # [k(expert), k(row), E]
         y = jnp.zeros((1, E), jnp.float32)
         for j in range(k):
-            y = y + gw[j] * expert_ffn(eids[j]).astype(jnp.float32)
+            y = y + gw[j] * d[j, j][None].astype(jnp.float32)
         return y.reshape(B, T, E).astype(h.dtype)
+
+    def expert_ffn(e):
+        ei = jnp.full((1,), e, jnp.int32)
+        g = _bank_mm(hf, p["w_gate_exps"], ei)[0]
+        u = _bank_mm(hf, p["w_up_exps"], ei)[0]
+        return _bank_mm((act(g) * u).astype(h.dtype), p["w_down_exps"], ei)[0]
 
     onehot = jax.nn.one_hot(top_idx, st.n_expert, dtype=jnp.float32)
     mix = jnp.einsum("btke,btk->bte", onehot, gate_w).reshape(B * T, st.n_expert)

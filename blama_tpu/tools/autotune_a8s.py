@@ -1,109 +1,129 @@
-"""Per-shape (block_n, kb) sweep for the SWAR W4A8 kernel on real TPU.
+"""Autotune the a8s (SWAR W4A8) decode kernel per 8B matmul shape.
 
-Round-2 profiling (NEXT.md perf #1) showed per-shape kernel efficiency
-spread: at 8B geometry wq/wo stream ~610 GB/s and down ~625 GB/s while the
-wide gate+up projection reaches ~708 GB/s with the same default
-(block_n=2048, kb=4). This sweeps the grid knobs per weight shape so the
-dispatch table (quant_matmul.A8S_TUNE) can pin the best measured config.
+VERDICT r2 weak #2: the decode step's per-shape kernel efficiency is uneven
+(wq/wo 610, down 625 vs ffn 708 GB/s at the default block_n=2048/kb=4), and
+the min correction runs as a separate XLA dot per matmul. This sweeps
+(block_n, kb, fold-min-in-kernel) per production shape.
 
-Usage:  python -m blama_tpu.tools.autotune_a8s [B]
+Methodology: the tunnel adds ~24 ms of dispatch overhead per call, far above
+a single layer set's kernel time, so each config is timed as a lax.scan of
+R_HI vs R_LO repetitions over L distinct HBM-resident weight copies (x is
+perturbed per rep through a dependency chain, so nothing is CSE'd or
+reordered) and the two wall times are DIFFERENCED — dispatch overhead and
+ramp cancel exactly, leaving (R_HI-R_LO)·L kernel invocations.
+
+Usage: python -m blama_tpu.tools.autotune_a8s [B]
 """
-
-from __future__ import annotations
-
+import gc
+import os
 import sys
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 import numpy as np
 
-from ..gguf.quants import quantize_q4_k
-from ..ops.pallas import quant_matmul as qm
+from blama_tpu.ops.pallas.quant_matmul import (
+    GROUP, KT, QuantTensorA8S, _a8s_tpb_call, w4a8_swar_matmul)
+
+# production decode shapes at llama3-8b geometry (fuse_proj layout + head)
+SHAPES = {
+    "wqkv": (4096, 6144),
+    "wo": (4096, 4096),
+    "wgu": (4096, 28672),
+    "down": (14336, 4096),
+    "head": (4096, 129024),
+}
+R_LO, R_HI = 2, 6
 
 
-def _pack(K: int, N: int) -> qm.QuantTensorA8S:
-    rng = np.random.default_rng(0)
-    w = rng.standard_normal((N, K), dtype=np.float32) * 0.02
-    data = quantize_q4_k(w)
-    return qm.repack_q4k_a8s(data, N, K)
+def fake_a8s(K: int, N: int, rng) -> QuantTensorA8S:
+    codes = jnp.asarray(rng.integers(0, 256, (K // 2, N), dtype=np.uint8))
+    scales = jnp.asarray(rng.standard_normal((K // GROUP, N)).astype(np.float32) * 0.01,
+                         jnp.bfloat16)
+    mins = jnp.asarray(rng.standard_normal((K // GROUP, N)).astype(np.float32) * 0.01,
+                       jnp.bfloat16)
+    return QuantTensorA8S(codes, scales, mins, n_out=N)
 
 
-N_SHORT, N_LONG = 64, 512
+def _timeit(fn, *args, reps=4):
+    np.asarray(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
-def _time(w, xs, bn, kb):
-    """Seconds per kernel call via a two-length slope: device-side scans over
-    N_SHORT and N_LONG distinct activations (loop-carried scalar dependency —
-    nothing can be hoisted or elided); the difference cancels the ~23 ms
-    fixed tunnel-dispatch cost that would otherwise swamp sub-ms kernels."""
-    from functools import partial
-
-    @partial(jax.jit, static_argnums=(2, 3))
-    def loop(w, xs, bn, kb):
-        def body(acc, x):
-            y = qm.w4a8_swar_matmul(x, w, bn, kb)
-            return acc + y.sum(), ()
-        acc, _ = jax.lax.scan(body, jnp.float32(0), xs)
-        return acc
-
-    def best_of(n, reps=3):
-        xn = xs[:n]
-        np.asarray(loop(w, xn, bn, kb))  # compile+settle
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(loop(w, xn, bn, kb))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    return (best_of(N_LONG) - best_of(N_SHORT)) / (N_LONG - N_SHORT)
+def make_run(call, R):
+    @jax.jit
+    def run(x0, *ws):
+        def body(x, _):
+            acc = jnp.float32(0)
+            for w in ws:
+                y = call(x, w)
+                acc = acc + y[0, 0]
+            # per-rep x perturbation: dependency chain defeats CSE/hoisting
+            return x + acc * jnp.float32(1e-30), ()
+        x, _ = jax.lax.scan(body, x0, None, length=R)
+        return x[0, :8]
+    return run
 
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    # 8B-geometry shapes (K, N): qkv fused, attn out, gate+up fused, down,
-    # plus the lm head at 128k vocab.
-    shapes = {
-        "wqkv": (4096, 6144),
-        "wo": (4096, 4096),
-        "wgu": (4096, 28672),
-        "down": (14336, 4096),
-        "head": (4096, 16384),  # head proxy: N-blocked slice of 128k vocab
-    }
-    results = {}
-    for name, (K, N) in shapes.items():
-        w = _pack(K, N)
-        xs = jnp.asarray(np.random.default_rng(1).standard_normal(
-            (N_LONG, B, K)), jnp.bfloat16)
-        bytes_w = K * N // 2 + (K // 32) * N * 4  # codes + bf16 scales+mins
-        best = None
-        for kb in (2, 4, 8, 16):
-            if K % (kb * 256):
-                continue
-            for bn in (512, 1024, 2048, 4096, 8192):
-                if bn > N:
-                    continue
-                try:
-                    t = _time(w, xs, bn, kb)
-                except Exception as e:  # VMEM overflow etc.
-                    print(f"{name} kb={kb} bn={bn}: FAIL {type(e).__name__}")
-                    continue
-                gbs = bytes_w / t / 1e9
-                tag = ""
-                if best is None or t < best[0]:
-                    best = (t, kb, bn)
-                    tag = " <-- best"
-                print(f"{name} [{K}x{N}] kb={kb} bn={bn}: "
-                      f"{t*1e3:.3f} ms  {gbs:.0f} GB/s{tag}")
-        t, kb, bn = best
-        results[name] = (K, N, kb, bn, bytes_w / t / 1e9)
-        print(f"== {name}: kb={kb} bn={bn}  {bytes_w/t/1e9:.0f} GB/s\n")
+    rng = np.random.default_rng(0)
+    only = os.environ.get("BLAMA_TUNE_SHAPES")
+    shapes = {k: v for k, v in SHAPES.items()
+              if only is None or k in only.split(",")}
 
-    print("A8S_TUNE = {")
-    for name, (K, N, kb, bn, gbs) in results.items():
-        print(f"    ({K}, {N}): ({bn}, {kb}),   # {name}: {gbs:.0f} GB/s")
-    print("}")
+    for name, (K, N) in shapes.items():
+        bytes_w = K * N // 2 + 2 * (K // GROUP) * N * 2
+        L = max(2, min(16, int(1.2e9 / bytes_w)))
+        ws = [fake_a8s(K, N, rng) for _ in range(L)]
+        x = jnp.asarray(rng.standard_normal((B, K)).astype(np.float32))
+        print(f"== {name} K={K} N={N}  ({bytes_w/1e6:.0f} MB/layer, {L} layers)",
+              flush=True)
+        rows = []
+        nsb = K // KT
+        for bn in (1024, 2048, 4096):
+            if bn > N:
+                continue
+            for kb in (4, 8, 14):
+                if nsb % kb != 0:
+                    continue
+                for fold in (0, 1):
+                    if fold:
+                        call = (lambda x, w, bn=bn, kb=kb:
+                                _a8s_tpb_call(x, w, 0, bn, kb))
+                    else:
+                        call = (lambda x, w, bn=bn, kb=kb:
+                                w4a8_swar_matmul(x, w, bn, kb))
+                    try:
+                        t_hi = _timeit(make_run(call, R_HI), x, *ws)
+                        t_lo = _timeit(make_run(call, R_LO), x, *ws)
+                        dt = (t_hi - t_lo) / ((R_HI - R_LO) * L)
+                        bw = bytes_w / dt / 1e9
+                        rows.append((dt, bn, kb, fold, bw))
+                        print(f"  bn={bn:5d} kb={kb:2d} fold={fold}  "
+                              f"{dt*1e3:7.3f} ms  {bw:6.1f} GB/s", flush=True)
+                    except Exception as e:
+                        print(f"  bn={bn:5d} kb={kb:2d} fold={fold}  FAIL "
+                              f"{type(e).__name__}: {str(e)[:90]}", flush=True)
+        if rows:
+            rows.sort()
+            dt, bn, kb, fold, bw = rows[0]
+            print(f"  BEST {name}: bn={bn} kb={kb} fold={fold}  "
+                  f"{dt*1e3:.3f} ms {bw:.1f} GB/s", flush=True)
+        del ws
+        gc.collect()
 
 
 if __name__ == "__main__":
