@@ -545,7 +545,14 @@ def _quant_kernel_call(flat: jnp.ndarray, w) -> jnp.ndarray:
         return q4k_native_matmul(flat, w)
     if isinstance(w, QuantTensorA8S):
         if flat.shape[0] <= A8S_MAX_BATCH:
-            return w4a8_swar_matmul(flat, w)
+            # v5e sweep (tools/autotune_a8s, round 3): layer shapes run
+            # fastest with the min correction folded in-kernel at a 4096
+            # lane block (wgu 644→736, down 625→717 GB/s vs the r2
+            # default, minus one XLA dot+sub per call); the wide lm head
+            # prefers the unfolded kernel at 2048 (820 vs 698 GB/s).
+            if w.codes.shape[1] >= 65536:
+                return w4a8_swar_matmul(flat, w)
+            return w4a8_swar_fold(flat, w)
         return q4k_matmul(flat, w)
     if isinstance(w, QuantTensorA8):
         return w4a8_matmul(flat, w)
@@ -1504,6 +1511,14 @@ def w4a8_swar_pinned(x: jnp.ndarray, w: QuantTensor,
     return _a8s_tpb_call(x, w, 0, block_n)
 
 
+@partial(jax.jit, static_argnums=(2, 3))
+def w4a8_swar_fold(x: jnp.ndarray, w: QuantTensor, block_n: int = 4096,
+                   kb: int = 4) -> jnp.ndarray:
+    """Decode-path SWAR kernel, min correction folded in-kernel, lane block
+    tuned on v5e (tools/autotune_a8s round 3)."""
+    return _a8s_tpb_call(x, w, 0, block_n, kb)
+
+
 # ---------------------------------------------------------------------------
 # MoE expert banks: scalar-prefetch in-place expert indirection
 # ---------------------------------------------------------------------------
@@ -1648,7 +1663,7 @@ def _q4k_bank_call(x, codes, scales, mins, eids, block_n: int, kb: int):
 
 
 def bank_matmul(x: jnp.ndarray, codes, scales, mins, eids, a8: bool,
-                block_n: int = 2048, kb: int = 4) -> jnp.ndarray:
+                block_n: int = 4096, kb: int = 4) -> jnp.ndarray:
     """x [B, K] @ bank[eids[j]] → [n_sel, B, N] f32, packed bytes read in
     place (no per-expert gather copy). Dispatch mirrors _quant_kernel_call's
     batch rule so routed decode (B small) and masked replay rows agree."""

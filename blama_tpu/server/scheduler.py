@@ -35,6 +35,9 @@ class GenRequest:
     sampler_params: SamplerParams = field(default_factory=SamplerParams)
     on_token: Callable[[TokenPrediction], None] | None = None
     on_done: Callable[[list[TokenPrediction]], None] | None = None
+    # set via Scheduler.cancel() (client disconnect); the request finishes
+    # early with whatever was generated, its row/pages are freed
+    _cancel: threading.Event = field(default_factory=threading.Event)
 
 
 @dataclass
@@ -139,6 +142,13 @@ class ContinuousBatchingScheduler:
     def submit(self, request: GenRequest) -> None:
         self._queue.put(request)
 
+    @staticmethod
+    def cancel(request: GenRequest) -> None:
+        """Abort a submitted request (thread-safe; client-disconnect path).
+        It finishes early — on_done still fires, with whatever was
+        generated — and its row/pages are recycled on the next iteration."""
+        request._cancel.set()
+
     def start(self) -> None:
         self._thread = threading.Thread(target=self._run, name="blama-scheduler", daemon=True)
         self._thread.start()
@@ -210,6 +220,10 @@ class ContinuousBatchingScheduler:
             req = self._next_request()
             if req is None:
                 return
+            if isinstance(req, GenRequest) and req._cancel.is_set():
+                if req.on_done:
+                    req.on_done([])
+                continue  # this slot stays free for the next iteration
             slot.num_past = 0
             slot.generated = []
             slot.pending_token = -1
@@ -301,6 +315,9 @@ class ContinuousBatchingScheduler:
         # per-request sampler state), teacher-forced for verification rows
         for b in active:
             slot = self._slots[b]
+            if slot.request is not None and slot.request._cancel.is_set():
+                slot.pending_token = -1  # finish early; row freed below
+                continue
             if slot.verify is not None:
                 if slot.verify_idx >= len(slot.verify.predictions) \
                         or slot.num_past >= self.S - 1:

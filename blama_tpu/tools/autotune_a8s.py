@@ -39,7 +39,7 @@ SHAPES = {
     "down": (14336, 4096),
     "head": (4096, 129024),
 }
-R_LO, R_HI = 2, 6
+R_LO, R_HI = 2, 26
 
 
 def fake_a8s(K: int, N: int, rng) -> QuantTensorA8S:
@@ -51,7 +51,7 @@ def fake_a8s(K: int, N: int, rng) -> QuantTensorA8S:
     return QuantTensorA8S(codes, scales, mins, n_out=N)
 
 
-def _timeit(fn, *args, reps=4):
+def _timeit(fn, *args, reps=6):
     np.asarray(fn(*args))
     best = float("inf")
     for _ in range(reps):
@@ -93,13 +93,13 @@ def main():
               flush=True)
         rows = []
         nsb = K // KT
-        for bn in (1024, 2048, 4096):
+        for bn in tuple(int(v) for v in os.environ.get('BLAMA_TUNE_BN', '1024,2048,4096').split(',')):
             if bn > N:
                 continue
-            for kb in (4, 8, 14):
+            for kb in (4, 8):
                 if nsb % kb != 0:
                     continue
-                for fold in (0, 1):
+                for fold in ((1,) if os.environ.get('BLAMA_TUNE_FOLD1') else (0, 1)):
                     if fold:
                         call = (lambda x, w, bn=bn, kb=kb:
                                 _a8s_tpb_call(x, w, 0, bn, kb))

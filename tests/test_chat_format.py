@@ -271,3 +271,49 @@ def test_jinja_format_msg_incremental():
 def test_unsupported_template_raises():
     with pytest.raises(ValueError, match="Unsupported chat template"):
         ChatFormat("complete gibberish with no markers")
+
+
+# -- generation-prompt on/off goldens (t-ChatFormat.cpp:380-431) --------------
+
+GEN_CHAT = [
+    ChatMsg("system", "You are a helpful assistant"),
+    ChatMsg("user", "Hello"),
+    ChatMsg("assistant", "Hello, how can I help?"),
+    ChatMsg("user", "I need help with my homework"),
+]
+
+
+def test_generation_prompt_named_llama3():
+    fmt = ChatFormat("llama3")
+    without = (
+        "<|start_header_id|>system<|end_header_id|>\n\n"
+        "You are a helpful assistant<|eot_id|><|start_header_id|>user<|end_header_id|>\n\n"
+        "Hello<|eot_id|><|start_header_id|>assistant<|end_header_id|>\n\n"
+        "Hello, how can I help?<|eot_id|><|start_header_id|>user<|end_header_id|>\n\n"
+        "I need help with my homework<|eot_id|>"
+    )
+    with_gen = without + "<|start_header_id|>assistant<|end_header_id|>\n\n"
+    assert fmt.format_chat(GEN_CHAT, True) == with_gen
+    assert fmt.format_chat(GEN_CHAT, False) == without
+
+
+def test_generation_prompt_custom_jinja():
+    tpl = (
+        "{% for message in messages %}"
+        "{{ '<|' + message['role'] + '|>\\n' + message['content'] + '<|end|>' + '\\n' }}"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}"
+        "{{ '<|' + assistant_role + '|>\\n' }}"
+        "{% endif %}"
+    )
+    fmt = ChatFormat(ChatParams(chat_template=tpl, bos_token="", eos_token="",
+                                role_assistant="assistant"))
+    without = (
+        "<|system|>\nYou are a helpful assistant<|end|>\n"
+        "<|user|>\nHello<|end|>\n"
+        "<|assistant|>\nHello, how can I help?<|end|>\n"
+        "<|user|>\nI need help with my homework<|end|>\n"
+    )
+    with_gen = without + "<|assistant|>\n"
+    assert fmt.format_chat(GEN_CHAT, True) == with_gen
+    assert fmt.format_chat(GEN_CHAT, False) == without

@@ -153,3 +153,51 @@ def test_ring_prefill_replay_consistency(tmp_path):
         np.testing.assert_array_equal(
             np.asarray([l.logit for l in o.logits], np.float32),
             np.asarray([l.logit for l in r.logits], np.float32))
+
+
+def test_ring_prover_replays_on_solo_dense_verifier(tmp_path):
+    """Cross-mode verification parity (VERDICT r2 next #7): an sp=8
+    ring-prefill PROVER's captured top-10 logits replay on a SOLO dense
+    verifier at the reference acceptance thresholds (score >= 0.95, mean
+    per-token similarity >= 0.98 — t-LogitComparer.cpp:76-78). Ring prefill
+    is online-softmax numerics, so cross-mode replay is threshold-level,
+    not bit-exact (same contract as the reference's CPU-vs-CUDA split)."""
+    from jax.sharding import Mesh
+
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.runtime.verify import LogitComparer, MetricsAggregator
+
+    p = str(tmp_path / "ring_x.gguf")
+    from blama_tpu.testing import write_tiny_llama
+
+    write_tiny_llama(p, GGMLType.F32)
+    prompt = ("the quick brown fox jumps over the lazy dog while the "
+              "miller grinds wheat by the old stone bridge at dawn")
+    m = Model(p, ModelParams(dtype="float32"))
+
+    sp_mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+    prover = Instance(m, InstanceInitParams(
+        ctx_size=128, fast_greedy=False,
+        ring_mesh=sp_mesh, ring_min_prompt=16))
+    s = prover.start_session(SessionInitParams(seed=5, temperature=0.0))
+    s.set_initial_prompt(m.vocab.tokenize(prompt, True, True))
+    preds = s.complete(CompleteParams(max_tokens=8))
+    prover.stop_session()
+
+    verifier = Instance(m, InstanceInitParams(ctx_size=128, fast_greedy=False))
+    s2 = verifier.start_session(SessionInitParams(seed=5, temperature=0.0))
+    s2.set_initial_prompt(m.vocab.tokenize(prompt, True, True))
+    replayed = s2.fill_ctx(preds)
+    verifier.stop_session()
+    m.close()
+
+    agg = MetricsAggregator()
+    score, sims = 0.0, []
+    for o, r in zip(preds, replayed):
+        score = agg.push_and_verify(LogitComparer.compare(o.logits, r.logits))
+        sims.append(LogitComparer.logit_similarity(o.logits, r.logits))
+    assert score >= 0.95, score
+    assert float(np.mean(sims)) >= 0.98, sims
