@@ -9,6 +9,13 @@ which physical page each grid step DMAs into VMEM
 (pltpu.PrefetchScalarGridSpec — the page table is available to the index
 maps before the body runs, the TPU-native analog of vLLM's block tables).
 
+Multi-page batching (VERDICT r2 next #5): one grid step processes PAGE_BATCH
+logical pages — the pool rides PAGE_BATCH times as separate operands whose
+index maps select consecutive logical pages, so their DMAs overlap and the
+grid (and its per-step fixed cost, the reason one-page-per-step lost to the
+dense kernel at 2k context) shrinks PAGE_BATCH-fold while HBM traffic is
+unchanged (only live pages are read).
+
 No gathered copy of the row view is ever materialized: HBM traffic is one
 pass over the row's LIVE pages per step, and pages the row does not own are
 never read (the XLA fallback in models/llama.py gathers the full logical
@@ -20,6 +27,8 @@ pages in order, unmapped pages are fully masked (exact no-ops under the
 online softmax), so the output is bit-identical to the dense fused kernel
 over the same logical row — physical page placement cannot affect logits
 (verification contract, SURVEY.md §3.3; pinned by tests/test_paged_kv.py).
+PAGE_BATCH only regroups the same per-page scratch updates onto fewer grid
+steps, in the same order — it cannot change results either.
 """
 
 from __future__ import annotations
@@ -48,37 +57,25 @@ def supports(page_size: int, head_dim: int, k_dtype) -> bool:
     )
 
 
-def _paged_attn_kernel(
-    pt_ref,      # [B, MP] int32 page table (scalar prefetch, SMEM)
-    q_ref,       # [1, QR, D] rotated queries (QR = H decode / BT*H prefill rows)
-    k_ref,       # [1, G, Hkv*D] one pool page, stored dtype, unrotated
-    v_ref,       # [1, G, Hkv*D]
-    posr_ref,    # [1, G] int32 page positions (row layout, mask)
-    posc_ref,    # [G, 1] int32 page positions (column layout, rope angles)
-    qpos_ref,    # decode: [B, 1] scalar prefetch; prefill: [BT, 1] VMEM
-    invf_ref,    # [1, D] f32 effective inv-freq, interleave-expanded
-    *rest_refs,
-    n_kv_head: int,
-    group: int,
-    head_dim: int,
-    scale: float,
-    quantized: bool,
-    block_t: int,  # 0 = decode (T==1), else prefill T-block
-):
-    if quantized:
-        ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = rest_refs
-    else:
-        out_ref, acc_ref, m_ref, l_ref = rest_refs
-    b = pl.program_id(0)
-    ns = pl.program_id(1 if block_t == 0 else 2)
-    num_s = pl.num_programs(1 if block_t == 0 else 2)
-    D = head_dim
+def _pick_page_batch(MP: int) -> int:
+    """Logical pages per grid step (divisor of the table width)."""
+    for pb in (4, 2):
+        if MP % pb == 0:
+            return pb
+    return 1
 
-    @pl.when(ns == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
+
+def _page_update(
+    j, pb, b, ns,
+    q_ref, k_refs, v_refs, posr_refs, posc_refs, qpos_ref, invf_ref,
+    ks_refs, vs_refs, acc_ref, m_ref, l_ref, pt_ref,
+    *, n_kv_head, group, head_dim, scale, quantized, block_t,
+):
+    """Online-softmax update for one logical page (page-slot j of this grid
+    step) — the per-page body shared by decode (block_t=0) and prefill."""
+    D = head_dim
+    k_ref, v_ref = k_refs[j], v_refs[j]
+    posr_ref, posc_ref = posr_refs[j], posc_refs[j]
 
     # rope angles for this page, shared by all kv heads
     pos_col = posc_ref[:, 0:1]                              # [G, 1]
@@ -92,7 +89,7 @@ def _paged_attn_kernel(
     # unmapped logical pages (pt == -1) are DMA'd as page 0 (index-map clamp)
     # but fully masked here: with every score at NEG_INF the online-softmax
     # update is an exact no-op, so garbage page-0 data cannot leak in.
-    valid_page = pt_ref[b, ns] >= 0
+    valid_page = pt_ref[b, ns * pb + j] >= 0
     pos_row = posr_ref[0:1, :]                              # [1, G]
     if block_t == 0:
         qpos = qpos_ref[b, 0]  # scalar-prefetch read (whole [B, 1] in SMEM)
@@ -120,7 +117,7 @@ def _paged_attn_kernel(
             preferred_element_type=jnp.float32,
         ) * scale                                                  # [rows, G]
         if quantized:
-            scores = scores * ks_ref[0, h:h + 1, :]               # fold K scale
+            scores = scores * ks_refs[j][0, h:h + 1, :]           # fold K scale
         scores = jnp.where(mask, scores, NEG_INF)
 
         m_prev = m_ref[r0:r1, 0:1]
@@ -132,7 +129,7 @@ def _paged_attn_kernel(
         e = jnp.where(mask, e, 0.0)                               # all-masked safety
         l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
         if quantized:
-            e = e * vs_ref[0, h:h + 1, :]                         # fold V scale
+            e = e * vs_refs[j][0, h:h + 1, :]                     # fold V scale
         vf = v_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32)   # [G, D]
         pv = jax.lax.dot_general(
             e, vf, (((1,), (0,)), ((), ())),
@@ -142,6 +139,53 @@ def _paged_attn_kernel(
         m_ref[r0:r1, :] = jnp.broadcast_to(m_new, (rows_per_head, m_ref.shape[1]))
         l_ref[r0:r1, :] = jnp.broadcast_to(l_new, (rows_per_head, l_ref.shape[1]))
 
+
+def _paged_attn_kernel(
+    pt_ref,      # [B, MP] int32 page table (scalar prefetch, SMEM)
+    q_ref,       # [1, QR, D] rotated queries (QR = H decode / BT*H prefill rows)
+    *page_and_rest_refs,
+    n_kv_head: int,
+    group: int,
+    head_dim: int,
+    scale: float,
+    quantized: bool,
+    block_t: int,  # 0 = decode (T==1), else prefill T-block
+    page_batch: int,
+    qpos_in_vmem: bool,  # prefill: qpos rides VMEM, not scalar prefetch
+):
+    pb = page_batch
+    refs = list(page_and_rest_refs)
+    k_refs = [refs.pop(0) for _ in range(pb)]
+    v_refs = [refs.pop(0) for _ in range(pb)]
+    posr_refs = [refs.pop(0) for _ in range(pb)]
+    posc_refs = [refs.pop(0) for _ in range(pb)]
+    qpos_ref = refs.pop(0)
+    invf_ref = refs.pop(0)
+    if quantized:
+        ks_refs = [refs.pop(0) for _ in range(pb)]
+        vs_refs = [refs.pop(0) for _ in range(pb)]
+    else:
+        ks_refs = vs_refs = None
+    out_ref, acc_ref, m_ref, l_ref = refs
+
+    b = pl.program_id(0)
+    ns = pl.program_id(1 if block_t == 0 else 2)
+    num_s = pl.num_programs(1 if block_t == 0 else 2)
+
+    @pl.when(ns == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    for j in range(pb):
+        _page_update(
+            j, pb, b, ns, q_ref, k_refs, v_refs, posr_refs, posc_refs,
+            qpos_ref, invf_ref, ks_refs, vs_refs, acc_ref, m_ref, l_ref,
+            pt_ref, n_kv_head=n_kv_head, group=group, head_dim=head_dim,
+            scale=scale, quantized=quantized, block_t=block_t,
+        )
+
     @pl.when(ns == num_s - 1)
     def _finalize():
         denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
@@ -149,11 +193,12 @@ def _paged_attn_kernel(
             out_ref[0] = (acc_ref[:] / denom).astype(out_ref.dtype)
         else:
             # acc rows are (h, t, gi)-ordered; invert to the q column layout
+            rows_per_head = block_t * group
             for h in range(n_kv_head):
                 r0, r1 = h * rows_per_head, (h + 1) * rows_per_head
                 out = (acc_ref[r0:r1, :] / denom[r0:r1]).astype(out_ref.dtype)
-                out_ref[0, :, h * group * D:(h + 1) * group * D] = (
-                    out.reshape(block_t, group * D))
+                out_ref[0, :, h * group * head_dim:(h + 1) * group * head_dim] = (
+                    out.reshape(block_t, group * head_dim))
 
 
 @partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -164,34 +209,53 @@ def _paged_decode_call(page_table, q, kp, vp, pos_r, pos_c, q_pos, inv_freq_e,
     Hkv = kp.shape[2] // D
     group = H // Hkv
     MP = page_table.shape[1]
+    pb = _pick_page_batch(MP)
     quantized = ks is not None
 
-    def page(b, n, pt, qp):
-        return (jnp.maximum(pt[b, n], 0), 0, 0)
+    def page(j):
+        return lambda b, n, pt, qp: (jnp.maximum(pt[b, n * pb + j], 0), 0, 0)
+
+    def posr(j):
+        return lambda b, n, pt, qp: (0, jnp.maximum(pt[b, n * pb + j], 0))
+
+    def posc(j):
+        return lambda b, n, pt, qp: (jnp.maximum(pt[b, n * pb + j], 0), 0)
 
     in_specs = [
         pl.BlockSpec((1, H, D), lambda b, n, pt, qp: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, G, Hkv * D), page, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, G, Hkv * D), page, memory_space=pltpu.VMEM),
-        # positions in both layouts ([1, P*G] rows for the mask, [P*G, 1]
-        # columns for rope angles) — Mosaic block rules (lane dim multiple of
-        # 128 / sublane multiple of 8) shape these, same trick as the dense
-        # kernel's kv_pos/kv_pos_t pair
-        pl.BlockSpec((1, G), lambda b, n, pt, qp: (0, jnp.maximum(pt[b, n], 0)),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((G, 1), lambda b, n, pt, qp: (jnp.maximum(pt[b, n], 0), 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, D), lambda b, n, pt, qp: (0, 0),
-                     memory_space=pltpu.VMEM),
     ]
-    args = [q, kp, vp, pos_r, pos_c, inv_freq_e]
+    args = [q]
+    for j in range(pb):
+        in_specs.append(pl.BlockSpec((1, G, Hkv * D), page(j),
+                                     memory_space=pltpu.VMEM))
+        args.append(kp)
+    for j in range(pb):
+        in_specs.append(pl.BlockSpec((1, G, Hkv * D), page(j),
+                                     memory_space=pltpu.VMEM))
+        args.append(vp)
+    # positions in both layouts ([1, P*G] rows for the mask, [P*G, 1]
+    # columns for rope angles) — Mosaic block rules (lane dim multiple of
+    # 128 / sublane multiple of 8) shape these, same trick as the dense
+    # kernel's kv_pos/kv_pos_t pair
+    for j in range(pb):
+        in_specs.append(pl.BlockSpec((1, G), posr(j), memory_space=pltpu.VMEM))
+        args.append(pos_r)
+    for j in range(pb):
+        in_specs.append(pl.BlockSpec((G, 1), posc(j), memory_space=pltpu.VMEM))
+        args.append(pos_c)
+    in_specs.append(pl.BlockSpec((1, D), lambda b, n, pt, qp: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(inv_freq_e)
     if quantized:
-        in_specs += [
-            pl.BlockSpec((1, Hkv, G), page, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, G), page, memory_space=pltpu.VMEM),
-        ]
-        args += [ks, vs]
+        for j in range(pb):
+            in_specs.append(pl.BlockSpec((1, Hkv, G), page(j),
+                                         memory_space=pltpu.VMEM))
+            args.append(ks)
+        for j in range(pb):
+            in_specs.append(pl.BlockSpec((1, Hkv, G), page(j),
+                                         memory_space=pltpu.VMEM))
+            args.append(vs)
 
     # q_pos rides scalar prefetch with the page table ([B, 1] SMEM blocks
     # don't satisfy Mosaic tiling at B > 1); the wrapper reorders it back
@@ -199,17 +263,21 @@ def _paged_decode_call(page_table, q, kp, vp, pos_r, pos_c, q_pos, inv_freq_e,
     body = partial(
         _paged_attn_kernel,
         n_kv_head=Hkv, group=group, head_dim=D,
-        scale=scale, quantized=quantized, block_t=0,
+        scale=scale, quantized=quantized, block_t=0, page_batch=pb,
+        qpos_in_vmem=False,
     )
 
-    def kernel(pt_ref, qpos_ref, q_ref, k_ref, v_ref, posr_ref, posc_ref,
-               invf_ref, *rest):
-        body(pt_ref, q_ref, k_ref, v_ref, posr_ref, posc_ref, qpos_ref,
-             invf_ref, *rest)
+    n_kv_operands = 4 * pb  # k, v, posr, posc groups
+
+    def kernel(pt_ref, qpos_ref, q_ref, *rest):
+        # reinsert qpos after invf (position the shared body expects)
+        rest = list(rest)
+        rest.insert(n_kv_operands, qpos_ref)
+        body(pt_ref, q_ref, *rest)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, MP),
+        grid=(B, MP // pb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, H, D), lambda b, n, pt, qp: (b, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -276,43 +344,73 @@ def _paged_prefill_call(page_table, q2, kp, vp, pos_r, pos_c, q_pos_t,
     Hkv = kp.shape[2] // D
     group = H // Hkv
     MP = page_table.shape[1]
+    pb = _pick_page_batch(MP)
     quantized = ks is not None
 
-    def page(b, t, n, pt):
-        return (jnp.maximum(pt[b, n], 0), 0, 0)
+    def page(j):
+        return lambda b, t, n, pt: (jnp.maximum(pt[b, n * pb + j], 0), 0, 0)
+
+    def posr(j):
+        return lambda b, t, n, pt: (0, jnp.maximum(pt[b, n * pb + j], 0))
+
+    def posc(j):
+        return lambda b, t, n, pt: (jnp.maximum(pt[b, n * pb + j], 0), 0)
 
     in_specs = [
         pl.BlockSpec((1, block_t, HD), lambda b, t, n, pt: (b, t, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, G, Hkv * D), page, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, G, Hkv * D), page, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, G), lambda b, t, n, pt: (0, jnp.maximum(pt[b, n], 0)),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((G, 1), lambda b, t, n, pt: (jnp.maximum(pt[b, n], 0), 0),
-                     memory_space=pltpu.VMEM),
-        # query positions flattened to [B*T, 1] so the column block satisfies
-        # Mosaic tiling at any batch (block index b*T/bt + t -> rows b*T+t*bt)
-        pl.BlockSpec((block_t, 1),
-                     lambda b, t, n, pt, _nt=T // block_t: (b * _nt + t, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, D), lambda b, t, n, pt: (0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [q2, kp, vp, pos_r, pos_c, q_pos_t, inv_freq_e]
+    args = [q2]
+    for j in range(pb):
+        in_specs.append(pl.BlockSpec((1, G, Hkv * D), page(j),
+                                     memory_space=pltpu.VMEM))
+        args.append(kp)
+    for j in range(pb):
+        in_specs.append(pl.BlockSpec((1, G, Hkv * D), page(j),
+                                     memory_space=pltpu.VMEM))
+        args.append(vp)
+    for j in range(pb):
+        in_specs.append(pl.BlockSpec((1, G), posr(j), memory_space=pltpu.VMEM))
+        args.append(pos_r)
+    for j in range(pb):
+        in_specs.append(pl.BlockSpec((G, 1), posc(j), memory_space=pltpu.VMEM))
+        args.append(pos_c)
+    # query positions flattened to [B*T, 1] so the column block satisfies
+    # Mosaic tiling at any batch (block index b*T/bt + t -> rows b*T+t*bt)
+    in_specs.append(pl.BlockSpec(
+        (block_t, 1), lambda b, t, n, pt, _nt=T // block_t: (b * _nt + t, 0),
+        memory_space=pltpu.VMEM))
+    args.append(q_pos_t)
+    in_specs.append(pl.BlockSpec((1, D), lambda b, t, n, pt: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(inv_freq_e)
     if quantized:
-        in_specs += [
-            pl.BlockSpec((1, Hkv, G), page, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, G), page, memory_space=pltpu.VMEM),
-        ]
-        args += [ks, vs]
+        for j in range(pb):
+            in_specs.append(pl.BlockSpec((1, Hkv, G), page(j),
+                                         memory_space=pltpu.VMEM))
+            args.append(ks)
+        for j in range(pb):
+            in_specs.append(pl.BlockSpec((1, Hkv, G), page(j),
+                                         memory_space=pltpu.VMEM))
+            args.append(vs)
 
-    kernel = partial(
+    body = partial(
         _paged_attn_kernel,
         n_kv_head=Hkv, group=group, head_dim=D,
-        scale=scale, quantized=quantized, block_t=block_t,
+        scale=scale, quantized=quantized, block_t=block_t, page_batch=pb,
+        qpos_in_vmem=True,
     )
+
+    n_kv_operands = 4 * pb
+
+    def kernel(pt_ref, q_ref, *rest):
+        # prefill qpos sits between the posc group and invf, where the body
+        # expects it — no reordering needed (it rides VMEM, not prefetch)
+        body(pt_ref, q_ref, *rest)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, T // block_t, MP),
+        grid=(B, T // block_t, MP // pb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_t, HD), lambda b, t, n, pt: (b, t, 0),
                                memory_space=pltpu.VMEM),
