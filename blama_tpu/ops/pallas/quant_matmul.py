@@ -500,6 +500,28 @@ class ShardedQuant:
         return self.base.n_out
 
 
+# Column chunks for the pipelined k-shard reduce (compute/collective
+# overlap). 4 chunks ≈ 3/4 of the ICI time hidden at steady state.
+_K_PSUM_CHUNKS = 4
+
+
+def _split_cols(w, nc: int):
+    """Split a packed tensor into `nc` equal column chunks (every field of
+    every Quant* layout is [*, N_pad]-shaped, so one split covers all).
+    Falls back to fewer chunks when the 256-aligned width doesn't divide."""
+    leaves, treedef = jax.tree_util.tree_flatten(w)
+    N = leaves[0].shape[-1]
+    while nc > 1 and N % (nc * 256) != 0:
+        nc //= 2
+    if nc <= 1:
+        return [w]
+    cw = N // nc
+    return [
+        treedef.unflatten([lv[..., i * cw:(i + 1) * cw] for lv in leaves])
+        for i in range(nc)
+    ]
+
+
 def _qmm_sharded(x: jnp.ndarray, w: ShardedQuant, pinned: bool = False) -> jnp.ndarray:
     """shard_map island around the packed-weight kernel. pinned=True selects
     the fixed-lane-block kernels (tp_blocks mode, see section below)."""
@@ -524,8 +546,21 @@ def _qmm_sharded(x: jnp.ndarray, w: ShardedQuant, pinned: bool = False) -> jnp.n
         out_spec = P(None, None)
 
         def f(xl, *wl):
-            part = _quant_kernel_call(xl, treedef.unflatten(wl))
-            return jax.lax.psum(part, tp)
+            # Software-pipelined reduce (north star: ICI collectives
+            # overlapped with compute): the local partial product is emitted
+            # in column CHUNKS, each psummed as soon as it exists — chunk
+            # i's all-reduce has no dependency on chunk i+1's kernel, so
+            # XLA's latency-hiding scheduler runs the ICI transfer of one
+            # chunk under the MXU/HBM work of the next instead of
+            # serializing kernel -> one monolithic all-reduce. Per-element
+            # arithmetic is unchanged (chunking splits N only; the psum
+            # addition order over devices is identical), so results are
+            # BIT-IDENTICAL to the unchunked path at any chunk count
+            # (tests/test_parallel.py pins chunked == unchunked).
+            wloc = treedef.unflatten(wl)
+            return jnp.concatenate(
+                [jax.lax.psum(_quant_kernel_call(xl, c), tp)
+                 for c in _split_cols(wloc, _K_PSUM_CHUNKS)], axis=1)
 
     out = jax.shard_map(
         f, mesh=w.mesh, in_specs=(x_spec, *w_specs), out_specs=out_spec,
