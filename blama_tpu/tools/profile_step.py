@@ -62,9 +62,15 @@ def main():
     model = Model(path, ModelParams(dtype=wdtype))
     cfg = model.config
     st = LlamaStatic.of(cfg)
-    S = 512
+    if os.environ.get("BLAMA_PROFILE_FLASH", "1") == "1":
+        import dataclasses
+
+        st = dataclasses.replace(st, attn_fused=True)
+    S = int(os.environ.get("BLAMA_PROFILE_CACHE", "2048"))
+    kv = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": "int8"}[
+        os.environ.get("BLAMA_PROFILE_KV", "int8")]
     cache = KVCache.create(cfg.n_layer, 1, S, cfg.n_head_kv, cfg.head_dim_,
-                           jnp.bfloat16)
+                           kv)
     params = model.weights
 
     # prefill a few tokens so the loop starts from a realistic state
@@ -107,16 +113,20 @@ def main():
         return run
 
     results = {}
-    for mode in ("full", "no_topk", "forced", "hidden"):
+    for mode in os.environ.get("BLAMA_PROFILE_MODES",
+                                "full,no_topk,forced,hidden").split(","):
         dt = _time_loop(mk_loop(mode), params, cache, logits0)
         results[mode] = dt / n_steps * 1e3
         print(f"{mode:8s} {results[mode]:7.3f} ms/step")
 
-    print(f"\nattribution (ms/step):")
-    print(f"  top-10 capture      {results['full'] - results['no_topk']:7.3f}")
-    print(f"  argmax+logits dep   {results['no_topk'] - results['forced']:7.3f}")
-    print(f"  logits head         {results['forced'] - results['hidden']:7.3f}")
-    print(f"  layers+attn+embed   {results['hidden']:7.3f}")
+    if all(m in results for m in ("full", "no_topk", "forced", "hidden")):
+        print(f"\nattribution (ms/step):")
+        print(f"  top-10 capture      {results['full'] - results['no_topk']:7.3f}")
+        print(f"  argmax+logits dep   {results['no_topk'] - results['forced']:7.3f}")
+        print(f"  logits head         {results['forced'] - results['hidden']:7.3f}")
+        print(f"  layers+attn+embed   {results['hidden']:7.3f}")
+    if os.environ.get("BLAMA_PROFILE_MODES"):
+        return
 
     # piece microbenches over distinct activations (no hoisting possible)
     E = cfg.n_embd
