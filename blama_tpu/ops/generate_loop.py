@@ -83,6 +83,59 @@ def greedy_generate(
     )
 
 
+@partial(jax.jit, static_argnums=(0, 7), donate_argnums=(2, 3))
+def scheduler_loop(
+    st,
+    params,
+    cache: KVCache,
+    logits0: jnp.ndarray,      # [B, V] f32 — stays ON DEVICE between horizons
+    start_pos: jnp.ndarray,    # [B] int32 next position (= slot, dense rows)
+    forced_toks: jnp.ndarray,  # [B, H] int32; -1 = greedy-argmax this row/step
+    claimed_ids: jnp.ndarray,  # [B, H, 10] int32 ids to gather (verify rows)
+    n_steps: int,
+):
+    """H decode steps for the continuous-batching scheduler in ONE dispatch.
+
+    The per-token scheduler round-trips the host every step — and pulls the
+    full [B, V] logits back each time, which through a tunneled TPU costs
+    more than the compute. This horizon loop keeps the logits ON the device
+    (carried in/out as a device array), mixes greedy rows (argmax) and
+    teacher-forced verification rows (forced_toks >= 0) per step, and
+    returns only small per-step outputs: sampled tokens, top-10 capture,
+    and the logit values at each verify row's claimed top-10 ids. Inactive
+    rows pass slot = n_slots (writes dropped) via forced_toks == -2.
+
+    Per-row arithmetic is the batched T==1 step the per-token path runs, in
+    a lax.scan — same program shape as the Session fast path, so greedy
+    tokens match the per-token scheduler (tested in test_scheduler.py).
+    """
+    fwd = _forward_for(st)
+    B = logits0.shape[0]
+    n_slots = cache.k.shape[2] if not isinstance(cache.k, (list, tuple)) else cache.k[0].shape[1]
+
+    def body(carry, step_in):
+        cache, logits, pos = carry
+        forced, cids = step_in             # [B], [B, 10]
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok = jnp.where(forced >= 0, jnp.maximum(forced, 0), greedy)
+        inactive = forced == -2
+        slot = jnp.where(inactive, n_slots, pos)  # dropped writes for idle rows
+        logits2, cache = fwd(
+            params, st, tok[:, None], pos[:, None], slot[:, None],
+            cache, jnp.zeros((B,), jnp.int32),
+        )
+        top_vals, top_ids = jax.lax.top_k(logits2, 10)
+        cvals = jnp.take_along_axis(logits2, cids, axis=-1)  # [B, 10]
+        return (cache, logits2, pos + 1), (tok, top_ids, top_vals, cvals)
+
+    (cache, logits, _), (toks, tids, tvals, cvals) = jax.lax.scan(
+        body, (cache, logits0, start_pos),
+        (forced_toks.swapaxes(0, 1), claimed_ids.swapaxes(0, 1)),
+        length=n_steps)
+    return (toks.swapaxes(0, 1), tids.swapaxes(0, 1), tvals.swapaxes(0, 1),
+            cvals.swapaxes(0, 1), logits, cache)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def teacher_forced(
     st: "llama_mod.LlamaStatic",

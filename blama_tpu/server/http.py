@@ -257,6 +257,7 @@ def main() -> None:
         # in 128-slot pages (0 = same HBM as the dense row layout)
         paged = os.environ.get("BLAMA_PAGED_KV", "0") == "1"
         api = SchedulerServer(model, max_batch=sched_batch, paged=paged,
+                              horizon=int(os.environ.get("BLAMA_HORIZON", "0")),
                               n_pages=int(os.environ.get("BLAMA_KV_PAGES", "0")))
         print(f"continuous batching enabled (max_batch={sched_batch}"
               f"{', paged KV' if paged else ''})")

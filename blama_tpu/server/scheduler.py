@@ -85,11 +85,22 @@ class ContinuousBatchingScheduler:
     """
 
     def __init__(self, model, max_batch: int = 8, ctx_size: int = 0,
-                 paged: bool = False, page_size: int = 128, n_pages: int = 0):
+                 paged: bool = False, page_size: int = 128, n_pages: int = 0,
+                 horizon: int = 0):
         self.model = model
         cfg = model.config
         self.B = max_batch
         self.S = ctx_size or cfg.n_ctx_train
+        # horizon > 1: decode up to `horizon` tokens per dispatch with the
+        # logits held ON DEVICE (ops/generate_loop.scheduler_loop) whenever
+        # every active row is device-eligible (greedy gen rows + verify
+        # rows). The per-token path pulls [B, V] f32 logits to the host
+        # every step — on a tunneled TPU that transfer alone costs more
+        # than the decode compute. Dense KV store only.
+        self.horizon = 0 if paged else horizon
+        self._dev_logits = None           # [B, V] f32 device array
+        self._stale_host = set()          # rows whose slot.last_logits lags
+        self._stale_dev = set()           # rows whose _dev_logits row lags
         kv_dtype = jnp.float32 if model.weights["tok_emb"].dtype == jnp.float32 else jnp.bfloat16
         self.paged = paged
         self._head = None  # head-of-line request awaiting pool space (FIFO)
@@ -302,7 +313,25 @@ class ContinuousBatchingScheduler:
             self.model.weights, jnp.asarray(toks), jnp.asarray(pos),
             jnp.asarray(sl), self.cache,
         )
+        if self.horizon > 1:
+            if self._dev_logits is None:
+                self._dev_logits = jnp.zeros_like(logits)
+            self._dev_logits = self._dev_logits.at[row].set(logits[row])
+            self._stale_dev.discard(row)
         slot.last_logits = np.asarray(logits[row]).astype(np.float32)
+        self._stale_host.discard(row)
+
+    @staticmethod
+    def _device_greedy(sp: SamplerParams) -> bool:
+        """Whether a row's sampling reduces to device-side argmax: greedy
+        temperature with every host-only transform neutral."""
+        rp = sp.repetition_penalty
+        return (sp.temp <= 0.0
+                and (rp.num_tokens == 0 or (rp.repeat == 1.0 and rp.freq == 0.0
+                                            and rp.present == 0.0))
+                and sp.mirostat.ver == 0
+                and not sp.grammar
+                and not sp.logit_bias)
 
     def _iteration(self) -> None:
         self._admit()
@@ -310,6 +339,19 @@ class ContinuousBatchingScheduler:
                   if s.request is not None or s.verify is not None]
         if not active:
             return
+        if self.horizon > 1 and all(
+                s.verify is not None or self._device_greedy(s.request.sampler_params)
+                for s in (self._slots[b] for b in active)):
+            self._horizon_iteration(active)
+            return
+        if self._stale_host:
+            # rows last decoded by the horizon loop: refresh their host
+            # logits before host-side sampling resumes (mode transition)
+            host = np.asarray(self._dev_logits).astype(np.float32)
+            for b in list(self._stale_host):
+                if self._slots[b].request is not None or self._slots[b].verify is not None:
+                    self._slots[b].last_logits = host[b]
+            self._stale_host.clear()
 
         # next token per active row: sampled for generation rows (host,
         # per-request sampler state), teacher-forced for verification rows
@@ -362,6 +404,9 @@ class ContinuousBatchingScheduler:
                 jnp.asarray(sl), self.cache,
             )
             logits_host = np.asarray(logits).astype(np.float32)
+            if self.horizon > 1:
+                self._stale_dev.update(
+                    b for b in active if self._slots[b].pending_token >= 0)
 
         for b in active:
             slot = self._slots[b]
@@ -381,6 +426,105 @@ class ContinuousBatchingScheduler:
             if slot.request.on_token:
                 slot.request.on_token(pred)
             if len(slot.generated) >= slot.request.max_tokens or slot.num_past >= self.S - 1:
+                self._finish(b)
+
+    def _horizon_iteration(self, active: list[int]) -> None:
+        """Up to `horizon` decode steps in ONE device dispatch (greedy +
+        verify rows; ops/generate_loop.scheduler_loop). Only small per-step
+        outputs (tokens, top-10, claimed-id values) cross the host boundary;
+        the [B, V] logits stay on device between horizons."""
+        from ..ops.generate_loop import scheduler_loop
+        from ..runtime.verify import LogitComparer
+
+        H = self.horizon
+        if self._dev_logits is None:
+            self._dev_logits = jnp.zeros(
+                (self.B, self.model.config.n_vocab), jnp.float32)
+        for b in list(self._stale_dev):  # per-token -> horizon transition
+            if self._slots[b].last_logits is not None:
+                self._dev_logits = self._dev_logits.at[b].set(
+                    jnp.asarray(self._slots[b].last_logits))
+        self._stale_dev.clear()
+
+        forced = np.full((self.B, H), -2, np.int32)
+        cids = np.zeros((self.B, H, 10), np.int32)
+        start_pos = np.zeros(self.B, np.int32)
+        plan: dict[int, int] = {}  # row -> planned step count
+        for b in active:
+            slot = self._slots[b]
+            start_pos[b] = slot.num_past
+            cap = self.S - 1 - slot.num_past
+            if slot.verify is not None:
+                rem = slot.verify.predictions[
+                    slot.verify_idx: slot.verify_idx + min(H, max(cap, 0))]
+                for i, pred in enumerate(rem):
+                    forced[b, i] = pred.token
+                    ids = sorted({td.token for td in pred.logits})
+                    cids[b, i, : len(ids)] = ids
+                plan[b] = len(rem)
+            else:
+                n = min(slot.request.max_tokens - len(slot.generated), H,
+                        max(cap, 0))
+                forced[b, :n] = -1  # device argmax
+                plan[b] = n
+
+        with self.metrics.timer("decode_step"):
+            toks, tids, tvals, cvals, self._dev_logits, self.cache = \
+                scheduler_loop(
+                    self._st, self.model.weights, self.cache,
+                    self._dev_logits, jnp.asarray(start_pos),
+                    jnp.asarray(forced), jnp.asarray(cids), H)
+            toks = np.asarray(toks)
+            tids = np.asarray(tids)
+            tvals = np.asarray(tvals, dtype=np.float32)
+            cvals = np.asarray(cvals, dtype=np.float32)
+
+        for b in active:
+            slot = self._slots[b]
+            self._stale_host.add(b)
+            if slot.verify is not None:
+                for i in range(plan[b]):
+                    claimed = slot.verify.predictions[slot.verify_idx]
+                    ids = np.array(sorted({td.token for td in claimed.logits}),
+                                   np.int64)
+                    vals = cvals[b, i, : len(ids)]
+                    order = np.lexsort((ids, -vals))
+                    replayed = [TokenData(int(ids[j]), float(vals[j]))
+                                for j in order]
+                    slot.aggregator.push_and_verify(
+                        LogitComparer.compare(claimed.logits, replayed))
+                    slot.generated.append(
+                        TokenPrediction(claimed.token, replayed))
+                    slot.verify_idx += 1
+                    slot.num_past += 1
+                    self.metrics.tokens_decoded += 1
+                if (slot.verify_idx >= len(slot.verify.predictions)
+                        or slot.num_past >= self.S - 1):
+                    self._finish(b)
+                continue
+            done = plan[b] == 0
+            for i in range(plan[b]):
+                tok = int(toks[b, i])
+                if self.model.vocab.is_eog(tok):
+                    done = True  # EOG is not accepted (Session semantics)
+                    break
+                if slot.request._cancel.is_set():
+                    done = True
+                    break
+                slot.sampler.accept(tok, True)
+                slot.num_past += 1
+                self.metrics.tokens_decoded += 1
+                top = [TokenData(int(tids[b, i, j]), float(tvals[b, i, j]))
+                       for j in range(10)]
+                pred = TokenPrediction(tok, top)
+                slot.generated.append(pred)
+                if slot.request.on_token:
+                    slot.request.on_token(pred)
+                if (len(slot.generated) >= slot.request.max_tokens
+                        or slot.num_past >= self.S - 1):
+                    done = True
+                    break
+            if done:
                 self._finish(b)
 
     def _verify_step(self, row: int, lg: np.ndarray) -> None:

@@ -32,12 +32,13 @@ class SchedulerServer(Server):
     """Server facade whose generation endpoints run on the batching scheduler."""
 
     def __init__(self, model: Model, instance_params: InstanceInitParams | None = None,
-                 max_batch: int = 8, paged: bool = False, n_pages: int = 0):
+                 max_batch: int = 8, paged: bool = False, n_pages: int = 0,
+                 horizon: int = 0):
         super().__init__(model, instance_params)
         ctx = (instance_params.ctx_size if instance_params else 0) or model.config.n_ctx_train
         self.scheduler = ContinuousBatchingScheduler(
             model, max_batch=max_batch, ctx_size=ctx, paged=paged,
-            n_pages=n_pages)
+            n_pages=n_pages, horizon=horizon)
         self.scheduler.start()
 
     def close(self) -> None:

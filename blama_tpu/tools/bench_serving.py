@@ -59,8 +59,10 @@ def main():
     model = Model(path, ModelParams(dtype=wdtype))
     print(f"# load: {time.time()-t0:.1f}s", file=sys.stderr)
 
+    horizon = int(os.environ.get("BLAMA_SERVE_HORIZON", "8"))
     sched = ContinuousBatchingScheduler(model, max_batch=max_batch,
-                                        ctx_size=ctx, paged=paged)
+                                        ctx_size=ctx, paged=paged,
+                                        horizon=horizon)
     rng = np.random.default_rng(0)
     done = {}
     t_submit = {}
@@ -97,7 +99,8 @@ def main():
         "detail": {
             "streams": n_streams, "max_batch": max_batch,
             "tokens_per_req": n_tokens, "prompt_len": n_prompt,
-            "paged": paged, "ctx": ctx, "wall_s": round(wall, 2),
+            "paged": paged, "ctx": ctx, "horizon": sched.horizon,
+            "wall_s": round(wall, 2),
             "completed": len(done),
             "latency_p50_s": round(lats[len(lats) // 2], 2),
             "latency_p90_s": round(lats[int(len(lats) * 0.9)], 2),

@@ -298,3 +298,67 @@ def test_thread_stress_concurrent_submit_and_cancel(model):
     # all rows freed, queue drained
     assert all(s.request is None and s.verify is None for s in sched._slots)
     assert sched._queue.empty() and sched._head is None
+
+
+def test_horizon_matches_per_token_and_solo(model):
+    """Horizon mode (multi-step device loop, logits kept on device) produces
+    the same greedy tokens as the per-token scheduler and solo Sessions."""
+    prompts = ["the cat sat", "hello world how", "one two three four"]
+    results = {}
+    for horizon in (0, 6):
+        sched = ContinuousBatchingScheduler(model, max_batch=4, ctx_size=64,
+                                            horizon=horizon)
+        outs = {}
+        for i, p in enumerate(prompts):
+            sched.submit(GenRequest(
+                prompt=model.vocab.tokenize(p, True, True), max_tokens=8,
+                sampler_params=greedy_params(),
+                on_done=lambda preds, i=i: outs.__setitem__(
+                    i, [pr.token for pr in preds])))
+        sched.run_until_idle()
+        results[horizon] = outs
+    assert results[0] == results[6]
+    for i, p in enumerate(prompts):
+        assert results[6][i] == _solo_reference(model, p, 8)
+
+
+def test_horizon_verify_row_scores_one(model):
+    """A verify row replayed through the horizon loop scores 1.0 against a
+    prover generated by the same horizon scheduler (same-engine replay)."""
+    from blama_tpu.server.scheduler import VerifyRequest
+
+    prompt = model.vocab.tokenize("the dog ran over", True, True)
+    sched = ContinuousBatchingScheduler(model, max_batch=2, ctx_size=64,
+                                        horizon=4)
+    got = {}
+    sched.submit(GenRequest(prompt=prompt, max_tokens=7,
+                            sampler_params=greedy_params(),
+                            on_done=lambda preds: got.__setitem__("p", preds)))
+    sched.run_until_idle()
+    sched.submit(VerifyRequest(prompt=prompt, predictions=got["p"],
+                               on_done=lambda s: got.__setitem__("s", s)))
+    sched.run_until_idle()
+    assert got["s"] == 1.0, got["s"]
+
+
+def test_horizon_mode_transition(model):
+    """A non-greedy request arriving mid-flight drops the scheduler to the
+    per-token path; the stale-logits sync must keep greedy rows correct."""
+    prompt_a = model.vocab.tokenize("the cat sat on", True, True)
+    prompt_b = model.vocab.tokenize("hello there", True, True)
+    ref = _solo_reference(model, "the cat sat on", 10)
+
+    sched = ContinuousBatchingScheduler(model, max_batch=2, ctx_size=64,
+                                        horizon=4)
+    outs = {}
+    sched.submit(GenRequest(prompt=prompt_a, max_tokens=10,
+                            sampler_params=greedy_params(),
+                            on_done=lambda p: outs.__setitem__("a", [x.token for x in p])))
+    # run a few horizon iterations, then inject a sampled (non-greedy) req
+    sched._iteration()
+    sched.submit(GenRequest(prompt=prompt_b, max_tokens=4,
+                            sampler_params=SamplerParams(temp=0.7, rng_seed=3),
+                            on_done=lambda p: outs.__setitem__("b", [x.token for x in p])))
+    sched.run_until_idle()
+    assert outs["a"] == ref, (outs["a"], ref)
+    assert len(outs["b"]) == 4
