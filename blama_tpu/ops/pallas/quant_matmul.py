@@ -586,6 +586,9 @@ def _quant_kernel_call(flat: jnp.ndarray, w) -> jnp.ndarray:
             # default, minus one XLA dot+sub per call); the wide lm head
             # prefers the unfolded kernel at 2048 (820 vs 698 GB/s).
             if w.codes.shape[1] >= 65536:
+                import os
+                if os.environ.get("BLAMA_A8S_FOLD_HEAD", "0") == "1":
+                    return w4a8_swar_fold(flat, w, 2048)
                 return w4a8_swar_matmul(flat, w)
             return w4a8_swar_fold(flat, w)
         return q4k_matmul(flat, w)
