@@ -515,22 +515,82 @@ def forward(
             x = x + p["cvec"]
         return x, (k_l, v_l, ks_l, vs_l)
 
+    def layer_fn_stacked(x, p, li, k_all, v_all, ks_all, vs_all, barange):
+        """T==1 fused-attention decode body on the STACKED cache (dense
+        rows): token writes are direct scatters into [L, B, S, ...] and the
+        attention kernel reads its layer in place — the per-layer slice +
+        set-back pattern costs ~0.5 ms/step in pure copies at 8B/S=2048
+        because a pallas operand can't alias an XLA slice (BENCH_LOCAL
+        round 3). Arithmetic mirrors layer_fn exactly (same kernels, same
+        values per block) so logits are bit-identical to the sliced path."""
+        B, T, E = x.shape
+        tpb = getattr(cfg, "tp_blocks", 0)
+        h = norm(x, p["attn_norm"])
+        if "wqkv" in p:
+            qkv = qmm_nblocked(h, p["wqkv"], tpb)
+            q, k, v = jnp.split(qkv, [H * D, H * D + Hkv * D], axis=-1)
+        else:
+            q = qmm_nblocked(h, p["wq"], tpb)
+            k = qmm_nblocked(h, p["wk"], tpb)
+            v = qmm_nblocked(h, p["wv"], tpb)
+        if "bq" in p:
+            q = q + p["bq"]
+            k = k + p["bk"]
+            v = v + p["bv"]
+        q = q.reshape(B, T, H, D)
+        k = k.reshape(B, T, Hkv, D)
+        v = v.reshape(B, T, Hkv, D)
+        q = apply_rope(q, positions, rope_dim, freq_base, interleaved,
+                       cos_sin=q_rope)
+        if ks_all is not None:
+            k_codes, k_sc = quantize_kv(k)
+            v_codes, v_sc = quantize_kv(v)
+            k_all = k_all.at[li, barange, slots].set(k_codes, mode="drop")
+            v_all = v_all.at[li, barange, slots].set(v_codes, mode="drop")
+            ks_all = ks_all.at[li, barange, slots].set(k_sc, mode="drop")
+            vs_all = vs_all.at[li, barange, slots].set(v_sc, mode="drop")
+        else:
+            k_all = k_all.at[li, barange, slots].set(k, mode="drop")
+            v_all = v_all.at[li, barange, slots].set(v, mode="drop")
+        attn = dattn.decode_attention(
+            q, k_all, v_all, positions[:, 0], new_positions, inv_freq_e,
+            k_scale=ks_all, v_scale=vs_all, mscale=rope_mscale, layer=li)
+        x = x + qmm_blocked(attn.reshape(B, T, H * D), p["wo"], tpb)
+        h2 = norm(x, p["ffn_norm"])
+        if "wgu" in p:
+            gu = qmm_nblocked(h2, p["wgu"], tpb)
+            gate, up = jnp.split(gu, 2, axis=-1)
+            x = x + qmm_blocked(act(gate) * up, p["w_down"], tpb)
+        else:
+            gate = act(qmm_nblocked(h2, p["w_gate"], tpb))
+            x = x + qmm_blocked(gate * qmm_nblocked(h2, p["w_up"], tpb),
+                                p["w_down"], tpb)
+        if "cvec" in p:
+            x = x + p["cvec"]
+        return x, k_all, v_all, ks_all, vs_all
+
     if isinstance(params["layers"], (list, tuple)):
         # unrolled layer loop (quantized modes): per-layer weights stay
         # separate arrays so Pallas kernels read packed codes in place —
         # no scan-slice copies (see load_llama_params)
         k_all, v_all = cache.k, cache.v
         ks_all, vs_all = cache.k_scale, cache.v_scale
-        for li_, p_ in enumerate(params["layers"]):
-            x, (k_l, v_l, ks_l, vs_l) = layer_fn(
-                x, (p_, k_all[li_], v_all[li_],
-                    None if ks_all is None else ks_all[li_],
-                    None if vs_all is None else vs_all[li_]))
-            k_all = k_all.at[li_].set(k_l)
-            v_all = v_all.at[li_].set(v_l)
-            if ks_all is not None:
-                ks_all = ks_all.at[li_].set(ks_l)
-                vs_all = vs_all.at[li_].set(vs_l)
+        if use_fused_attn and not paged:
+            barange = jnp.arange(tokens.shape[0], dtype=jnp.int32)[:, None]
+            for li_, p_ in enumerate(params["layers"]):
+                x, k_all, v_all, ks_all, vs_all = layer_fn_stacked(
+                    x, p_, li_, k_all, v_all, ks_all, vs_all, barange)
+        else:
+            for li_, p_ in enumerate(params["layers"]):
+                x, (k_l, v_l, ks_l, vs_l) = layer_fn(
+                    x, (p_, k_all[li_], v_all[li_],
+                        None if ks_all is None else ks_all[li_],
+                        None if vs_all is None else vs_all[li_]))
+                k_all = k_all.at[li_].set(k_l)
+                v_all = v_all.at[li_].set(v_l)
+                if ks_all is not None:
+                    ks_all = ks_all.at[li_].set(ks_l)
+                    vs_all = vs_all.at[li_].set(vs_l)
         k_new, v_new, ks_new, vs_new = k_all, v_all, ks_all, vs_all
     else:
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(

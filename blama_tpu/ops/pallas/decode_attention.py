@@ -110,11 +110,15 @@ def _decode_attn_kernel(
     head_dim: int,
     scale: float,
     quantized: bool,
+    stacked: bool = False,  # k/v refs carry a leading layer dim (see _call)
 ):
     if quantized:
         ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = rest_refs
     else:
         out_ref, acc_ref, m_ref, l_ref = rest_refs
+    if stacked:
+        k_ref = k_ref.at[0]
+        v_ref = v_ref.at[0]
     ns = pl.program_id(1)
     num_s = pl.num_programs(1)
     D = head_dim
@@ -196,12 +200,26 @@ def supports(S: int, head_dim: int, k_dtype, batch: int = 1) -> bool:
     )
 
 
-@partial(jax.jit, static_argnames=("scale", "interpret"))
+@partial(jax.jit, static_argnames=("scale", "interpret", "layer"))
 def _call(q, k2, v2, kv_pos, q_pos, inv_freq_e, ks, vs,
-          scale: float, interpret: bool):
+          scale: float, interpret: bool, layer: int | None = None):
+    """layer != None: k2/v2 are the STACKED [L, B, S, Hkv*D] cache arrays and
+    the block specs index layer directly — no per-layer slice materialization
+    (a pallas operand must be contiguous, so an XLA-level k2[layer] costs a
+    full-layer copy in AND a set-back copy out per step; measured ~0.5 ms/step
+    across 32 layers at S=2048, BENCH_LOCAL round 3)."""
     B, H, D = q.shape
-    S = k2.shape[1]
-    Hkv = k2.shape[2] // D
+    if layer is None:
+        S = k2.shape[1]
+        Hkv = k2.shape[2] // D
+        kspec = lambda blk: pl.BlockSpec(
+            (1, blk, Hkv * D), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM)
+    else:
+        S = k2.shape[2]
+        Hkv = k2.shape[3] // D
+        kspec = lambda blk: pl.BlockSpec(
+            (1, 1, blk, Hkv * D), lambda b, n, li=layer: (li, b, n, 0),
+            memory_space=pltpu.VMEM)
     group = H // Hkv
     block_s = _pick_block_s(S, jnp.dtype(k2.dtype).itemsize, B)
     grid = (B, S // block_s)
@@ -210,8 +228,8 @@ def _call(q, k2, v2, kv_pos, q_pos, inv_freq_e, ks, vs,
 
     in_specs = [
         pl.BlockSpec((1, H, D), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_s, Hkv * D), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_s, Hkv * D), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
+        kspec(block_s),
+        kspec(block_s),
         # positions flattened to [1, B*S] / [B*S, 1] so the blocks satisfy
         # Mosaic tiling at ANY batch (row b block n = flat block b*nsb + n);
         # q_pos rides whole-array SMEM for the same reason
@@ -234,7 +252,7 @@ def _call(q, k2, v2, kv_pos, q_pos, inv_freq_e, ks, vs,
     kernel = partial(
         _decode_attn_kernel,
         n_kv_head=Hkv, group=group, head_dim=D,
-        scale=scale, quantized=quantized,
+        scale=scale, quantized=quantized, stacked=layer is not None,
     )
     return pl.pallas_call(
         kernel,
@@ -265,24 +283,41 @@ def decode_attention(
     v_scale: jnp.ndarray | None = None,
     logit_scale: float | None = None,
     mscale: float = 1.0,
+    layer: int | None = None,  # k/v_cache are stacked [L, B, S, Hkv, D]
 ) -> jnp.ndarray:
-    """Fused single-token attention; returns [B, 1, H, D] in q.dtype."""
+    """Fused single-token attention; returns [B, 1, H, D] in q.dtype.
+
+    With `layer` set, k_cache/v_cache (and the scales) are the full stacked
+    cache arrays and the kernel reads layer `layer` in place — the unrolled
+    quantized decode path uses this to avoid per-layer slice/set-back copies
+    of the cache (custom-call operands can't alias an XLA slice)."""
     B, T, H, D = q.shape
     assert T == 1, "decode_attention is the T==1 fast path"
-    S, Hkv = k_cache.shape[1], k_cache.shape[2]
+    if layer is None:
+        S, Hkv = k_cache.shape[1], k_cache.shape[2]
+        k2 = k_cache.reshape(B, S, Hkv * D)
+        v2 = v_cache.reshape(B, S, Hkv * D)
+        ks = vs = None
+        if k_scale is not None:
+            ks = jnp.swapaxes(k_scale, 1, 2)  # [B, Hkv, S]: lane-major S
+            vs = jnp.swapaxes(v_scale, 1, 2)
+    else:
+        L, Bc, S, Hkv = k_cache.shape[:4]
+        k2 = k_cache.reshape(L, Bc, S, Hkv * D)
+        v2 = v_cache.reshape(L, Bc, S, Hkv * D)
+        ks = vs = None
+        if k_scale is not None:
+            # scales are small ([B, S, Hkv] f32); slicing the layer costs
+            # ~64KB, unlike the MB-scale k/v codes
+            ks = jnp.swapaxes(k_scale[layer], 1, 2)
+            vs = jnp.swapaxes(v_scale[layer], 1, 2)
     scale = (logit_scale if logit_scale is not None else 1.0 / (D ** 0.5)) * mscale
-
-    k2 = k_cache.reshape(B, S, Hkv * D)
-    v2 = v_cache.reshape(B, S, Hkv * D)
-    ks = vs = None
-    if k_scale is not None:
-        ks = jnp.swapaxes(k_scale, 1, 2)  # [B, Hkv, S]: lane-majors the S axis
-        vs = jnp.swapaxes(v_scale, 1, 2)
     out = _call(
         q.reshape(B, H, D), k2, v2, kv_pos,
         q_pos.reshape(B, 1), inv_freq_e.reshape(1, D), ks, vs,
         scale=float(scale),
         interpret=jax.default_backend() == "cpu",
+        layer=layer,
     )
     return out.reshape(B, 1, H, D)
 

@@ -580,17 +580,22 @@ def _quant_kernel_call(flat: jnp.ndarray, w) -> jnp.ndarray:
         return q4k_native_matmul(flat, w)
     if isinstance(w, QuantTensorA8S):
         if flat.shape[0] <= A8S_MAX_BATCH:
+            import os
+
             # v5e sweep (tools/autotune_a8s, round 3): layer shapes run
             # fastest with the min correction folded in-kernel at a 4096
             # lane block (wgu 644→736, down 625→717 GB/s vs the r2
             # default, minus one XLA dot+sub per call); the wide lm head
             # prefers the unfolded kernel at 2048 (820 vs 698 GB/s).
             if w.codes.shape[1] >= 65536:
-                import os
                 if os.environ.get("BLAMA_A8S_FOLD_HEAD", "0") == "1":
                     return w4a8_swar_fold(flat, w, 2048)
                 return w4a8_swar_matmul(flat, w)
-            return w4a8_swar_fold(flat, w)
+            # default: in-kernel activation quantization (bit-identical to
+            # w4a8_swar_fold, no XLA prologue glue — BENCH_LOCAL round 3)
+            if os.environ.get("BLAMA_A8S_PROLOGUE", "kernel") == "xla":
+                return w4a8_swar_fold(flat, w)
+            return w4a8_swar_xin(flat, w)
         return q4k_matmul(flat, w)
     if isinstance(w, QuantTensorA8):
         return w4a8_matmul(flat, w)
@@ -1555,6 +1560,168 @@ def w4a8_swar_fold(x: jnp.ndarray, w: QuantTensor, block_n: int = 4096,
     """Decode-path SWAR kernel, min correction folded in-kernel, lane block
     tuned on v5e (tools/autotune_a8s round 3)."""
     return _a8s_tpb_call(x, w, 0, block_n, kb)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel activation quantization: the W4A8 prologue moves into the kernel
+# ---------------------------------------------------------------------------
+#
+# The XLA prologue (_quant_acts + _a8s_planes + the sxm multiply) is ~10 small
+# HLO ops per matmul call; at 4 quant matmuls x 32 layers the 8B decode step
+# spends ~1.3 ms/step on that glue (device trace, BENCH_LOCAL.md round 3:
+# broadcast_select/concatenate/reshape/reduce fusions + their operand
+# slices) — more than some kernels spend reading weights. Every piece of the
+# prologue is K-slab-local, so this variant takes the RAW activations and
+# quantizes/plane-builds each K slab ONCE into VMEM scratch: the grid walks
+# K on the outer axis and lane blocks inside, building the slab's planes at
+# n == 0 and reusing them for every lane block. XLA sees one fused op per
+# matmul: the pallas call itself.
+#
+# Arithmetic is IDENTICAL to _quant_acts/_a8s_planes/_a8s_tpb_body — same f32
+# quantize formula, same int8 dot shapes, same combine order — so outputs are
+# bit-identical to w4a8_swar_fold (asserted in tests/test_pallas_quant.py).
+
+
+def _a8s_xin_kernel(x_ref, codes_ref, scales_ref, mins_ref, out_ref,
+                    pl_scr, ph_scr, xs_scr, sxm_scr):
+    # grid (n, k): n outer so out blocks are revisited CONSECUTIVELY over k
+    # (Mosaic's supported accumulation pattern — a k-outer grid mis-
+    # accumulates, caught on hardware by tools/ab_xin.py); the n == 0 sweep
+    # quantizes every K slab into full-K scratch, later n reuse it.
+    n, k = pl.program_id(0), pl.program_id(1)
+    B, slab = x_ref.shape
+    assert B == 1, "in-kernel prologue is the B==1 decode path"
+    kb = slab // KT
+    P = kb * 4
+    G = slab // GROUP
+    R = 2 * kb  # 128-lane tile rows of the slab
+
+    @pl.when(n == 0)
+    def _():
+        # quantize this K slab and build its SWAR planes (scratch persists
+        # across the inner lane-block loop). Mosaic supports lane-dim
+        # reshapes only at 128-lane granularity (tools/probe_casts.py), so
+        # the per-32-group stats use masked lane reductions on [R, 128]
+        # tiles instead of a (*, GROUP) reshape — same max/sum/round values,
+        # element for element, as _quant_acts.
+        x2 = x_ref[:].astype(jnp.float32).reshape(R, 128)
+        lane_g = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1) // GROUP
+        absx = jnp.abs(x2)
+        m_cols = [jnp.max(jnp.where(lane_g == g, absx, 0.0), axis=1,
+                          keepdims=True) for g in range(4)]        # amax [R,1]
+        slanes = sum(jnp.where(lane_g == g, m_cols[g] / 127.0, 0.0)
+                     for g in range(4))                            # [R,128]
+        inv = jnp.where(slanes > 0,
+                        1.0 / jnp.where(slanes > 0, slanes, 1.0), 0.0)
+        xq2 = jnp.round(x2 * inv).astype(jnp.int8)
+        xsum = jnp.concatenate(
+            [jnp.sum(jnp.where(lane_g == g, xq2.astype(jnp.int32), 0),
+                     axis=1, keepdims=True) for g in range(4)],
+            axis=1).astype(jnp.float32)                            # [R,4]
+        scale = jnp.concatenate(m_cols, axis=1) / 127.0            # [R,4]
+        # scatter (row 2t+h, col g) -> group index q = t*8 + h*4 + g: since
+        # q//4 == 2t+h, that's a 4x sublane repeat + diagonal column pick
+        # (exact copies; a 0/1 selection MATMUL would run at the MXU's
+        # default bf16 precision and round the values)
+        gsel = (jax.lax.broadcasted_iota(jnp.int32, (G, 4), 1)
+                == jax.lax.broadcasted_iota(jnp.int32, (G, 4), 0) % 4)
+
+        def pick(mat):  # [R, 4] -> [G, 1] in q order
+            rows = jnp.repeat(mat, 4, axis=0)  # rows[q] = mat[q // 4]
+            return jnp.sum(jnp.where(gsel, rows, 0.0), axis=1, keepdims=True)
+
+        xs_scr[pl.dslice(k * G, G), :] = pick(scale)
+        sxm_scr[pl.dslice(k * G, G), :] = pick(scale * xsum)
+        xq = xq2.reshape(1, slab)
+        xr = xq.reshape(1, kb, 2, KT // 2)
+        lo = xr[:, :, 0].reshape(1, slab // 2)
+        hi = xr[:, :, 1].reshape(1, slab // 2)
+        i = jax.lax.broadcasted_iota(jnp.int32, (1, slab // 2), 1)
+        p_of_i = (i // (KT // 2)) * 4 + (i % (KT // 2)) // GROUP
+        pl_scr[:, pl.dslice(k * (slab // 2), slab // 2)] = jnp.concatenate(
+            [jnp.where(p_of_i == p, lo, jnp.int8(0)) for p in range(P)],
+            axis=0)
+        ph_scr[:, pl.dslice(k * (slab // 2), slab // 2)] = jnp.concatenate(
+            [jnp.where(p_of_i == p, hi, jnp.int8(0)) for p in range(P)],
+            axis=0)
+
+    acc = _a8s_block_math(
+        pl_scr[:, pl.dslice(k * (slab // 2), slab // 2)],
+        ph_scr[:, pl.dslice(k * (slab // 2), slab // 2)],
+        xs_scr[pl.dslice(k * G, G), :], codes_ref[:], scales_ref[:])
+    neg = jax.lax.dot_general(
+        sxm_scr[pl.dslice(k * G, G), :], mins_ref[:].astype(jnp.float32),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc = acc - neg
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(k != 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def w4a8_swar_xin(x: jnp.ndarray, w: QuantTensor, block_n: int = 4096,
+                  kb: int = 4) -> jnp.ndarray:
+    """SWAR kernel with IN-KERNEL activation quantization + min fold.
+
+    Bit-identical outputs to w4a8_swar_fold; removes the whole XLA-side
+    prologue. x [1, K] float (B == 1 decode steps; larger batches fall back
+    to the XLA-prologue fold kernel, whose glue amortizes over the batch).
+    Returns [B, N] f32."""
+    B, K = x.shape
+    if B != 1 or K % KT != 0:
+        return w4a8_swar_fold(x, w, block_n, kb)
+    K2, N = w.codes.shape
+    assert K == K2 * 2, (x.shape, w.codes.shape)
+    bn = min(block_n, N)
+    while N % bn != 0:
+        bn //= 2
+    while K % (kb * KT) != 0:
+        kb //= 2
+    assert kb >= 1, (K,)
+    slab = kb * KT
+    P = kb * 4
+    ks = K // slab
+    grid = (N // bn, ks)
+    return pl.pallas_call(
+        _a8s_xin_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, slab), lambda n, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab // 2, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab // GROUP, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab // GROUP, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, bn), lambda n, k: (0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((P * B, K // 2), jnp.int8),
+            pltpu.VMEM((P * B, K // 2), jnp.int8),
+            pltpu.VMEM((K // GROUP, B), jnp.float32),
+            pltpu.VMEM((K // GROUP, B), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # scratch written at n == 0 feeds later steps: both dims must
+            # stay in submission order
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * P * B * (K // 2) * N,
+            bytes_accessed=K * N // 2 + (K // GROUP) * N * 4 + B * K * 4
+            + B * N * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(x, w.codes, w.scales, w.mins)
 
 
 # ---------------------------------------------------------------------------

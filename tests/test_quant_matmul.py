@@ -119,6 +119,39 @@ def test_w4a8_kernel_accuracy():
     assert rel < 0.02  # int8 activation quantization error budget
 
 
+@pytest.mark.parametrize("B,K,N", [(1, 1024, 512), (1, 512, 768),
+                                   (4, 2048, 512), (16, 1024, 256),
+                                   (1, 256, 512)])
+def test_a8s_inkernel_prologue_bitwise(B, K, N):
+    """w4a8_swar_xin (in-kernel activation quant + planes) vs w4a8_swar_fold
+    (XLA prologue) — the decode dispatch switched to xin for the 8B headline
+    (BENCH_LOCAL round 3).
+
+    On TPU the two kernels are BIT-IDENTICAL (same Mosaic reduce lowering;
+    checked on hardware by tools/ab_xin.py). On the CPU interpret path XLA's
+    per-module reduction vectorization may differ at the last ulp between the
+    two programs (the persistent-AOT-cache codegen reassociates the f32
+    combine), so here: tight allclose across kernels + strict bitwise
+    self-determinism of the production (xin) kernel."""
+    from blama_tpu.ops.pallas.quant_matmul import (
+        repack_q4k_a8s, w4a8_swar_fold, w4a8_swar_xin)
+
+    rng = np.random.default_rng(7)
+    wf = rng.standard_normal((N, K)).astype(np.float32) * 0.05
+    packed = quants.quantize(wf, GGMLType.Q4_K)
+    qt = repack_q4k_a8s(packed, N, K)
+    x = jnp.asarray(rng.standard_normal((B, K)).astype(np.float32))
+    y_fold = np.asarray(w4a8_swar_fold(x, qt))
+    y_xin = np.asarray(w4a8_swar_xin(x, qt))
+    np.testing.assert_allclose(y_xin, y_fold, rtol=1e-4, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(w4a8_swar_xin(x, qt)), y_xin)
+    # bf16 activations (the forward pass feeds bf16) agree too
+    xb = x.astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(w4a8_swar_xin(xb, qt)),
+        np.asarray(w4a8_swar_fold(xb, qt)), rtol=1e-4, atol=2e-6)
+
+
 def test_w4a8_session_self_consistent(tmp_path):
     """q4k_a8 engine mode: generation deterministic and replay bit-exact
     (tokens may differ from the float engine due to activation quantization —
