@@ -126,10 +126,14 @@ def _bench_config(model, n_steps, n_prompt, flash, kv_dtype, reps=3):
         times.append(time.time() - t0)
     best = min(times)
 
-    # TTFT: prefill + first decode + first-token transfer (p50 of 5)
+    # TTFT: prefill + first decode + first-token transfer (p50 of 5).
+    # Cache allocation happens OUTSIDE the timed region — at 2048-slot int8
+    # the zeros fills are ~5 tunnel dispatches (~0.15 s) that belong to
+    # session setup, not time-to-first-token.
     ttfts = []
     for _ in range(5):
         cache = fresh_cache()
+        jax.block_until_ready(cache.k)
         t0 = time.time()
         toks1, _, _, _ = greedy_generate(st, model.weights, prompt, cache, n_prompt, 1)
         np.asarray(toks1)

@@ -116,12 +116,19 @@ def _decode_attn_kernel(
         ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = rest_refs
     else:
         out_ref, acc_ref, m_ref, l_ref = rest_refs
-    if stacked:
-        k_ref = k_ref.at[0]
-        v_ref = v_ref.at[0]
     ns = pl.program_id(1)
     num_s = pl.num_programs(1)
     D = head_dim
+
+    if stacked:
+        # stacked refs are 4-D [1, 1, BS, Hkv*D] (the forward pass keeps the
+        # stacked cache MERGED across the decode loop: a 5-D [.., Hkv, D]
+        # int8 operand would tile (Hkv, D) as (32, 128) and pad the DMA 4x)
+        def khead(ref, h):
+            return ref[0, 0, :, h * D:(h + 1) * D]
+    else:
+        def khead(ref, h):
+            return ref[0, :, h * D:(h + 1) * D]
 
     @pl.when(ns == 0)
     def _init():
@@ -144,7 +151,7 @@ def _decode_attn_kernel(
 
     for h in range(n_kv_head):
         r0, r1 = h * group, (h + 1) * group
-        kf = k_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32)   # [BS, D]
+        kf = khead(k_ref, h).astype(jnp.float32)                  # [BS, D]
         k_rot = kf * cos + _swap_pairs(kf, even) * sin_signed
         qh = q_ref[0, r0:r1, :].astype(jnp.float32)               # [g, D]
         scores = jax.lax.dot_general(
@@ -165,7 +172,7 @@ def _decode_attn_kernel(
         l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
         if quantized:
             e = e * vs_ref[0, h:h + 1, :]                         # fold V scale
-        vf = v_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32)   # [BS, D]
+        vf = khead(v_ref, h).astype(jnp.float32)                  # [BS, D]
         pv = jax.lax.dot_general(
             e, vf, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -180,12 +187,116 @@ def _decode_attn_kernel(
         out_ref[0] = (acc_ref[:] / denom).astype(out_ref.dtype)
 
 
-def _pick_block_s(S: int, itemsize: int, batch: int = 1) -> int | None:
+def _decode_attn_kernel_hb(
+    # refs (quantized mode appends ks8/vs8 before out)
+    q_ref,       # [1, H, D]  q dtype (rotated, unscaled)
+    k_ref,       # stacked: [1, 1, BS, Hkv*D]; else [1, BS, Hkv*D]
+    v_ref,       # same
+    posr_ref,    # [1, BS*Hkv] int32 positions expanded in (s, h) order (mask)
+    posc_ref,    # [BS*Hkv, 1] int32 same, column layout (rope angles)
+    qpos_ref,    # [B, 1] int32 (whole-array SMEM) query positions
+    invf_ref,    # [1, D] f32 effective inv-freq, interleave-expanded
+    *rest_refs,
+    n_kv_head: int,
+    group: int,
+    head_dim: int,
+    scale: float,
+    quantized: bool,
+    stacked: bool,
+):
+    """HEAD-BATCHED decode attention: all kv heads in two dots per block.
+
+    The per-head loop extracted [BS, D] head slices from the cache block —
+    on the stacked 5-D operand that's a strided sublane gather per head
+    (measured 63 us/call vs ~5 us of streaming at 8B/S=2048). Here the block
+    collapses to rows r = (s, h) — a pure sublane merge, no relayout — and
+    validity between q row and kv row is a MASK on the [H, BS*Hkv] score
+    matrix. 8x the MXU flops of the per-head dots, but this kernel is
+    bandwidth/overhead-bound and MXU time is noise (~0.3 us/block).
+    Positions and INT8 scales arrive pre-expanded in (s, h) order, which is
+    exactly the cache's native row-major flattening — no transposes
+    anywhere."""
+    if quantized:
+        ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = rest_refs
+    else:
+        out_ref, acc_ref, m_ref, l_ref = rest_refs
+    ns = pl.program_id(1)
+    num_s = pl.num_programs(1)
+    D = head_dim
+    H = group * n_kv_head
+
+    @pl.when(ns == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    kf = k_ref[:].reshape(-1, D).astype(jnp.float32)       # [R, D], R = BS*Hkv
+    vf = v_ref[:].reshape(-1, D).astype(jnp.float32)
+    R = kf.shape[0]
+
+    # rope angles per (slot, head) row — head-duplicated trig is VPU noise
+    pos_col = posc_ref[:, 0:1]                             # [R, 1] int32
+    theta = pos_col.astype(jnp.float32) * invf_ref[0:1, :]  # [R, D]
+    cos = jnp.cos(theta)
+    sin = jnp.sin(theta)
+    even = jax.lax.broadcasted_iota(jnp.int32, (R, D), 1) % 2 == 0
+    k_rot = kf * cos + _swap_pairs(kf, even) * jnp.where(even, -sin, sin)
+
+    q_all = q_ref[0].astype(jnp.float32)                   # [H, D]
+    scores = jax.lax.dot_general(
+        q_all, k_rot, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                              # [H, R]
+    if quantized:
+        scores = scores * ks_ref[0:1, :]                   # fold K scale
+
+    qpos = qpos_ref[pl.program_id(0), 0]
+    pos_row = posr_ref[0:1, :]                             # [1, R]
+    # row r of q belongs to kv head r//group; column j holds kv head j%Hkv
+    rh = jax.lax.broadcasted_iota(jnp.int32, (H, R), 0) // group
+    jc = jax.lax.broadcasted_iota(jnp.int32, (H, R), 1) % n_kv_head
+    mask = (jc == rh) & (pos_row >= 0) & (pos_row <= qpos)  # [H, R]
+    scores = jnp.where(mask, scores, NEG_INF)
+
+    m_prev = m_ref[:, 0:1]
+    l_prev = l_ref[:, 0:1]
+    m_cur = jnp.max(scores, axis=-1, keepdims=True)        # [H, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    e = jnp.exp(scores - m_new)
+    e = jnp.where(mask, e, 0.0)                            # all-masked safety
+    l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
+    if quantized:
+        e = e * vs_ref[0:1, :]                             # fold V scale
+    pv = jax.lax.dot_general(
+        e, vf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # [H, D]
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ns == num_s - 1)
+    def _finalize():
+        denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
+        out_ref[0] = (acc_ref[:] / denom).astype(out_ref.dtype)
+
+
+def _pick_block_s(S: int, itemsize: int, batch: int = 1,
+                  cap: int = 1024) -> int | None:
     # Mosaic lane rule for the [1, B*S] position row layout: the lane block
     # must be a multiple of 128 OR the whole array (the latter admits the
-    # small-context single-block case, e.g. S=32 at B=1)
-    for bs in (512, 256, 128, 64, 32, 16, 8):
-        if S % bs == 0 and (bs % 128 == 0 or bs == batch * S):
+    # small-context single-block case, e.g. S=32 at B=1).
+    # int8 caches take 1024-slot blocks in the DECODE kernel: at S=2048 it is
+    # dispatch/ramp-bound (23.5 us/call vs ~5 us of streaming, device trace
+    # round 3), so fewer, larger DMAs win. bf16 — and the prefill kernel,
+    # whose q/acc/score buffers already crowd VMEM (cap=512 there) — keep
+    # 512 so double-buffered K+V blocks stay well under the scoped limit.
+    cands = (1024, 512, 256, 128, 64, 32, 16, 8) if itemsize == 1 else (
+        512, 256, 128, 64, 32, 16, 8)
+    for bs in cands:
+        if bs <= cap and S % bs == 0 and (bs % 128 == 0 or bs == batch * S):
             return bs
     return None
 
@@ -201,13 +312,20 @@ def supports(S: int, head_dim: int, k_dtype, batch: int = 1) -> bool:
 
 
 @partial(jax.jit, static_argnames=("scale", "interpret", "layer"))
-def _call(q, k2, v2, kv_pos, q_pos, inv_freq_e, ks, vs,
+def _call(q, k2, v2, kv_pos, q_pos, inv_freq_e, k_scale, v_scale,
           scale: float, interpret: bool, layer: int | None = None):
-    """layer != None: k2/v2 are the STACKED [L, B, S, Hkv*D] cache arrays and
-    the block specs index layer directly — no per-layer slice materialization
-    (a pallas operand must be contiguous, so an XLA-level k2[layer] costs a
-    full-layer copy in AND a set-back copy out per step; measured ~0.5 ms/step
-    across 32 layers at S=2048, BENCH_LOCAL round 3)."""
+    """layer != None: k2/v2 are the STACKED [L, B, S, Hkv, D] cache arrays in
+    their NATIVE layout and the block specs index the layer directly — no
+    per-layer slice materialization (a pallas operand must be contiguous, so
+    an XLA-level k2[layer] costs a full-layer copy in AND a set-back copy out
+    per step; ~0.5 ms/step across 32 layers at 8B/S=2048) and no Hkv*D merge
+    (a full-cache relayout, ~13 ms/step — BENCH_LOCAL round 3).
+
+    Kernel selection: the head-batched kernel (_decode_attn_kernel_hb)
+    whenever the block rows can collapse to (BS*Hkv, D) without touching the
+    lane dim — always true for the 5-D stacked operand, and for the merged
+    2-D operand when D % 128 == 0. Models with smaller head dims keep the
+    per-head-loop kernel."""
     B, H, D = q.shape
     if layer is None:
         S = k2.shape[1]
@@ -220,40 +338,81 @@ def _call(q, k2, v2, kv_pos, q_pos, inv_freq_e, ks, vs,
         kspec = lambda blk: pl.BlockSpec(
             (1, 1, blk, Hkv * D), lambda b, n, li=layer: (li, b, n, 0),
             memory_space=pltpu.VMEM)
+    # head-batched turned out SLOWER on hardware: collapsing (s, h) rows is
+    # an in-VMEM lane->sublane relayout (~70 us/call), while the per-head
+    # LANE SLICES of the merged block are free. Keep hb available for probes.
+    import os
+    hb = D % 128 == 0 and os.environ.get("BLAMA_ATTN_HB", "0") == "1"
     group = H // Hkv
-    block_s = _pick_block_s(S, jnp.dtype(k2.dtype).itemsize, B)
+    # head-batched f32 intermediates are [block_s*Hkv, D]; cap rows at 4K
+    cap = max(128, 4096 // Hkv) if hb else 1024
+    block_s = _pick_block_s(S, jnp.dtype(k2.dtype).itemsize, B, cap=cap)
     grid = (B, S // block_s)
     nsb = S // block_s
-    quantized = ks is not None
+    quantized = k_scale is not None
 
     in_specs = [
         pl.BlockSpec((1, H, D), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
         kspec(block_s),
         kspec(block_s),
-        # positions flattened to [1, B*S] / [B*S, 1] so the blocks satisfy
-        # Mosaic tiling at ANY batch (row b block n = flat block b*nsb + n);
-        # q_pos rides whole-array SMEM for the same reason
-        pl.BlockSpec((1, block_s), lambda b, n: (0, b * nsb + n),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_s, 1), lambda b, n: (b * nsb + n, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, D), lambda b, n: (0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [q, k2, v2, kv_pos.reshape(1, B * S), kv_pos.reshape(B * S, 1),
-            q_pos, inv_freq_e]
-    if quantized:
+    if hb:
+        # positions and INT8 scales expanded to (s, h) rows — the cache's
+        # own row-major flattening, so no transposes anywhere
+        kv_pos8 = jnp.repeat(kv_pos, Hkv, axis=1)          # [B, S*Hkv]
+        be = block_s * Hkv
         in_specs += [
-            pl.BlockSpec((1, Hkv, block_s), lambda b, n: (b, 0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, block_s), lambda b, n: (b, 0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, be), lambda b, n: (0, b * nsb + n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((be, 1), lambda b, n: (b * nsb + n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, D), lambda b, n: (0, 0), memory_space=pltpu.VMEM),
         ]
-        args += [ks, vs]
-
-    kernel = partial(
-        _decode_attn_kernel,
-        n_kv_head=Hkv, group=group, head_dim=D,
-        scale=scale, quantized=quantized, stacked=layer is not None,
-    )
+        args = [q, k2, v2, kv_pos8.reshape(1, B * S * Hkv),
+                kv_pos8.reshape(B * S * Hkv, 1), q_pos, inv_freq_e]
+        if quantized:
+            ksl = k_scale[layer] if layer is not None else k_scale
+            vsl = v_scale[layer] if layer is not None else v_scale
+            in_specs += [
+                pl.BlockSpec((1, be), lambda b, n: (b, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, be), lambda b, n: (b, n),
+                             memory_space=pltpu.VMEM),
+            ]
+            args += [ksl.reshape(B, S * Hkv), vsl.reshape(B, S * Hkv)]
+        kernel = partial(
+            _decode_attn_kernel_hb,
+            n_kv_head=Hkv, group=group, head_dim=D,
+            scale=scale, quantized=quantized, stacked=layer is not None,
+        )
+    else:
+        in_specs += [
+            # positions flattened to [1, B*S] / [B*S, 1] so the blocks
+            # satisfy Mosaic tiling at ANY batch (row b block n = flat block
+            # b*nsb + n); q_pos rides whole-array SMEM for the same reason
+            pl.BlockSpec((1, block_s), lambda b, n: (0, b * nsb + n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, 1), lambda b, n: (b * nsb + n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, D), lambda b, n: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        args = [q, k2, v2, kv_pos.reshape(1, B * S), kv_pos.reshape(B * S, 1),
+                q_pos, inv_freq_e]
+        if quantized:
+            in_specs += [
+                pl.BlockSpec((1, Hkv, block_s), lambda b, n: (b, 0, n), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, block_s), lambda b, n: (b, 0, n), memory_space=pltpu.VMEM),
+            ]
+            ksl = k_scale[layer] if layer is not None else k_scale
+            vsl = v_scale[layer] if layer is not None else v_scale
+            args += [jnp.swapaxes(ksl, 1, 2), jnp.swapaxes(vsl, 1, 2)]
+        kernel = partial(
+            _decode_attn_kernel,
+            n_kv_head=Hkv, group=group, head_dim=D,
+            scale=scale, quantized=quantized, stacked=layer is not None,
+        )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -267,6 +426,9 @@ def _call(q, k2, v2, kv_pos, q_pos, inv_freq_e, ks, vs,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # head-batched f32 intermediates ([BS*Hkv, D] x ~5) exceed the
+            # 16M default at 512-slot int8 blocks; v5e VMEM is far larger
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
@@ -283,38 +445,29 @@ def decode_attention(
     v_scale: jnp.ndarray | None = None,
     logit_scale: float | None = None,
     mscale: float = 1.0,
-    layer: int | None = None,  # k/v_cache are stacked [L, B, S, Hkv, D]
+    layer: int | None = None,  # k/v_cache are stacked MERGED [L, B, S, Hkv*D]
 ) -> jnp.ndarray:
     """Fused single-token attention; returns [B, 1, H, D] in q.dtype.
 
-    With `layer` set, k_cache/v_cache (and the scales) are the full stacked
-    cache arrays and the kernel reads layer `layer` in place — the unrolled
-    quantized decode path uses this to avoid per-layer slice/set-back copies
-    of the cache (custom-call operands can't alias an XLA slice)."""
+    With `layer` set, k_cache/v_cache are the full stacked cache arrays in
+    the MERGED [L, B, S, Hkv*D] shape (the caller reshapes once per step —
+    bitcast, not copy) and the kernel reads layer `layer` in place: no
+    per-layer slice/set-back copies (a pallas operand can't alias an XLA
+    slice) and no per-layer relayouts. Scales stay [L, B, S, Hkv]."""
     B, T, H, D = q.shape
     assert T == 1, "decode_attention is the T==1 fast path"
     if layer is None:
         S, Hkv = k_cache.shape[1], k_cache.shape[2]
         k2 = k_cache.reshape(B, S, Hkv * D)
         v2 = v_cache.reshape(B, S, Hkv * D)
-        ks = vs = None
-        if k_scale is not None:
-            ks = jnp.swapaxes(k_scale, 1, 2)  # [B, Hkv, S]: lane-major S
-            vs = jnp.swapaxes(v_scale, 1, 2)
     else:
-        L, Bc, S, Hkv = k_cache.shape[:4]
-        k2 = k_cache.reshape(L, Bc, S, Hkv * D)
-        v2 = v_cache.reshape(L, Bc, S, Hkv * D)
-        ks = vs = None
-        if k_scale is not None:
-            # scales are small ([B, S, Hkv] f32); slicing the layer costs
-            # ~64KB, unlike the MB-scale k/v codes
-            ks = jnp.swapaxes(k_scale[layer], 1, 2)
-            vs = jnp.swapaxes(v_scale[layer], 1, 2)
+        # stacked arrays pass through UNRESHAPED: the Hkv*D merge would
+        # retile the cache (full-array relayout copy per layer)
+        k2, v2 = k_cache, v_cache
     scale = (logit_scale if logit_scale is not None else 1.0 / (D ** 0.5)) * mscale
     out = _call(
         q.reshape(B, H, D), k2, v2, kv_pos,
-        q_pos.reshape(B, 1), inv_freq_e.reshape(1, D), ks, vs,
+        q_pos.reshape(B, 1), inv_freq_e.reshape(1, D), k_scale, v_scale,
         scale=float(scale),
         interpret=jax.default_backend() == "cpu",
         layer=layer,
@@ -442,7 +595,7 @@ def prefill_supports(T: int, S: int, head_dim: int, k_dtype,
     return (
         T > 1
         and _pick_block_t(T) is not None
-        and _pick_block_s(S, item, batch) is not None
+        and _pick_block_s(S, item, batch, cap=512) is not None
         and head_dim % 2 == 0
         and head_dim <= 256
     )
@@ -458,7 +611,7 @@ def _prefill_call(q2, k2, v2, kv_pos, q_pos, inv_freq_e, ks, vs,
     Hkv = k2.shape[2] // D
     group = H // Hkv
     block_t = _pick_block_t(T)
-    block_s = _pick_block_s(S, jnp.dtype(k2.dtype).itemsize, B)
+    block_s = _pick_block_s(S, jnp.dtype(k2.dtype).itemsize, B, cap=512)
     grid = (B, T // block_t, S // block_s)
     nsb = S // block_s
     ntb = T // block_t
@@ -511,6 +664,11 @@ def _prefill_call(q2, k2, v2, kv_pos, q_pos, inv_freq_e, ks, vs,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            # q/out/acc blocks + (block_t*H, 128) m/l scratch + per-head
+            # score temporaries exceed the 16M default scoped-vmem limit at
+            # long S with a 128-row T block (observed 25.2M at S=2048 int8);
+            # v5e VMEM is far larger, so raise the per-kernel budget
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)

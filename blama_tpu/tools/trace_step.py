@@ -23,9 +23,47 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def summarize_trace_json(trace_dir: str, top: int = 40):
+    """Aggregate op self-times from the Chrome trace JSON (fallback parser:
+    the tensorboard_plugin_profile wheel in this image has no xplane_pb2)."""
+    import gzip
+    import json as _json
+    import re
+    from collections import defaultdict as _dd
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    assert paths, f"no trace.json.gz under {trace_dir}"
+    with gzip.open(paths[0], "rt") as f:
+        data = _json.load(f)
+    ev = data["traceEvents"]
+    tids = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    totals, counts = _dd(float), _dd(int)
+    dev_total = 0.0
+    for e in ev:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if tids.get((e["pid"], e.get("tid"))) != "XLA Ops":
+            continue
+        base = re.sub(r"\.\d+", "", e["name"])
+        totals[base] += e["dur"] / 1e3  # ms
+        counts[base] += 1
+        dev_total += e["dur"] / 1e3
+    print(f"device op total: {dev_total:.3f} ms over {len(totals)} op names")
+    for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {ms:9.3f} ms  x{counts[name]:<6d} {name[:100]}")
+    return totals
+
+
 def summarize_xplane(trace_dir: str, top: int = 40):
     """Aggregate op self-times from the trace's .xplane.pb (device planes)."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    try:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    except ImportError:
+        return summarize_trace_json(trace_dir, top)
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
