@@ -41,9 +41,10 @@ def _round_up(n: int, m: int) -> int:
 def _load_model(preset, wdtype):
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache_tpu"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from blama_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(__file__), ".jax_cache_tpu"))
 
     from blama_tpu.runtime.model import Model, ModelParams
     from blama_tpu.testing import (MOE_PRESETS, synthesize_llama_gguf,
@@ -133,7 +134,7 @@ def _bench_config(model, n_steps, n_prompt, flash, kv_dtype, reps=3):
     ttfts = []
     for _ in range(5):
         cache = fresh_cache()
-        jax.block_until_ready(cache.k)
+        jax.block_until_ready(cache)  # whole pytree: v/scales/positions too
         t0 = time.time()
         toks1, _, _, _ = greedy_generate(st, model.weights, prompt, cache, n_prompt, 1)
         np.asarray(toks1)

@@ -109,9 +109,16 @@ def scheduler_loop(
     a lax.scan — same program shape as the Session fast path, so greedy
     tokens match the per-token scheduler (tested in test_scheduler.py).
     """
+    from . import paged_kv as pkv
+
     fwd = _forward_for(st)
     B = logits0.shape[0]
-    n_slots = cache.k.shape[2] if not isinstance(cache.k, (list, tuple)) else cache.k[0].shape[1]
+    paged = isinstance(cache, pkv.PagedKVCache)
+    if paged:
+        G = cache.page_size
+        n_slots = cache.n_slots  # pool slots; >= n_slots → dropped write
+    else:
+        n_slots = cache.k.shape[2] if not isinstance(cache.k, (list, tuple)) else cache.k[0].shape[1]
 
     def body(carry, step_in):
         cache, logits, pos = carry
@@ -119,7 +126,14 @@ def scheduler_loop(
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         tok = jnp.where(forced >= 0, jnp.maximum(forced, 0), greedy)
         inactive = forced == -2
-        slot = jnp.where(inactive, n_slots, pos)  # dropped writes for idle rows
+        if paged:
+            # flat pool slot via the row's page table (pages pre-allocated
+            # host-side for the whole horizon before dispatch)
+            page = jnp.take_along_axis(
+                cache.page_table, (pos // G)[:, None], axis=1)[:, 0]
+            slot = jnp.where(inactive, n_slots, page * G + pos % G)
+        else:
+            slot = jnp.where(inactive, n_slots, pos)  # dropped writes for idle rows
         logits2, cache = fwd(
             params, st, tok[:, None], pos[:, None], slot[:, None],
             cache, jnp.zeros((B,), jnp.int32),

@@ -236,6 +236,21 @@ class PageAllocator:
         phys = self.tables[row, logical // self.G] * self.G + logical % self.G
         return phys.astype(np.int32)
 
+    def max_extend(self, row: int, n: int) -> int:
+        """Largest m <= n for which allocate_slots(row, m) would succeed
+        (logical-window + free-pool bound). Allocates nothing — the
+        scheduler's horizon loop uses it to clamp a multi-step plan before
+        committing pages."""
+        start = int(self._row_len[row])
+        n = min(n, self.MP * self.G - start)
+        if n <= 0:
+            return 0
+        lp = start // self.G
+        while lp < self.MP and self.tables[row, lp] >= 0:
+            lp += 1
+        covered = max(0, lp * self.G - start)  # slots on already-mapped pages
+        return min(n, covered + len(self._free) * self.G)
+
     def free_row(self, row: int) -> list[int]:
         """Release a finished row's pages back to the pool (sorted re-insert
         keeps allocation deterministic). Returns the freed physical pages so

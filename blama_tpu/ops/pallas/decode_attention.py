@@ -34,10 +34,17 @@ CPU-vs-CUDA backend split (e-verify.cpp).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+# probe flag, read ONCE at import: it participates in traced code, so a
+# mid-process env toggle would otherwise silently keep the cached compile
+# (ADVICE r3). Probes that need the head-batched kernel set this attribute
+# (or the env var) before the first call.
+_HB = os.environ.get("BLAMA_ATTN_HB", "0") == "1"
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -314,7 +321,8 @@ def supports(S: int, head_dim: int, k_dtype, batch: int = 1) -> bool:
 @partial(jax.jit, static_argnames=("scale", "interpret", "layer"))
 def _call(q, k2, v2, kv_pos, q_pos, inv_freq_e, k_scale, v_scale,
           scale: float, interpret: bool, layer: int | None = None):
-    """layer != None: k2/v2 are the STACKED [L, B, S, Hkv, D] cache arrays in
+    """layer != None: k2/v2 are the STACKED MERGED [L, B, S, Hkv*D] cache
+    arrays (Hkv derived as shape[3] // D) in
     their NATIVE layout and the block specs index the layer directly — no
     per-layer slice materialization (a pallas operand must be contiguous, so
     an XLA-level k2[layer] costs a full-layer copy in AND a set-back copy out
@@ -341,12 +349,17 @@ def _call(q, k2, v2, kv_pos, q_pos, inv_freq_e, k_scale, v_scale,
     # head-batched turned out SLOWER on hardware: collapsing (s, h) rows is
     # an in-VMEM lane->sublane relayout (~70 us/call), while the per-head
     # LANE SLICES of the merged block are free. Keep hb available for probes.
-    import os
-    hb = D % 128 == 0 and os.environ.get("BLAMA_ATTN_HB", "0") == "1"
+    hb = D % 128 == 0 and _HB
     group = H // Hkv
     # head-batched f32 intermediates are [block_s*Hkv, D]; cap rows at 4K
     cap = max(128, 4096 // Hkv) if hb else 1024
     block_s = _pick_block_s(S, jnp.dtype(k2.dtype).itemsize, B, cap=cap)
+    if hb and block_s is None:
+        # the tighter hb cap can reject a geometry supports() approved
+        # (e.g. B=1, S=192 needs the whole-array 192 block): fall back to
+        # the per-head kernel rather than failing (ADVICE r3)
+        hb = False
+        block_s = _pick_block_s(S, jnp.dtype(k2.dtype).itemsize, B)
     grid = (B, S // block_s)
     nsb = S // block_s
     quantized = k_scale is not None

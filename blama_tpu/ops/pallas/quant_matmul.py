@@ -23,6 +23,7 @@ K = n_in (contiguous/quantized ggml dim), N = n_out.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -580,20 +581,18 @@ def _quant_kernel_call(flat: jnp.ndarray, w) -> jnp.ndarray:
         return q4k_native_matmul(flat, w)
     if isinstance(w, QuantTensorA8S):
         if flat.shape[0] <= A8S_MAX_BATCH:
-            import os
-
             # v5e sweep (tools/autotune_a8s, round 3): layer shapes run
             # fastest with the min correction folded in-kernel at a 4096
             # lane block (wgu 644→736, down 625→717 GB/s vs the r2
             # default, minus one XLA dot+sub per call); the wide lm head
             # prefers the unfolded kernel at 2048 (820 vs 698 GB/s).
             if w.codes.shape[1] >= 65536:
-                if os.environ.get("BLAMA_A8S_FOLD_HEAD", "0") == "1":
+                if _A8S_FOLD_HEAD:
                     return w4a8_swar_fold(flat, w, 2048)
                 return w4a8_swar_matmul(flat, w)
             # default: in-kernel activation quantization (bit-identical to
             # w4a8_swar_fold, no XLA prologue glue — BENCH_LOCAL round 3)
-            if os.environ.get("BLAMA_A8S_PROLOGUE", "kernel") == "xla":
+            if _A8S_PROLOGUE == "xla":
                 return w4a8_swar_fold(flat, w)
             return w4a8_swar_xin(flat, w)
         return q4k_matmul(flat, w)
@@ -748,6 +747,12 @@ def _a8s_kernel(planes_lo_ref, planes_hi_ref, xs_ref, codes_ref, scales_ref,
 # decode-batch cap: plane count is 4·kb·B rows; beyond this the exact kernel
 # amortizes its unpack over the batch anyway (prefill is not VPU-bound)
 A8S_MAX_BATCH = 16
+
+# probe flags, read ONCE at import (they participate in traced code; a
+# mid-process env toggle would otherwise silently keep the cached compile
+# — ADVICE r3). Probes set these attributes directly to A/B in-process.
+_A8S_FOLD_HEAD = os.environ.get("BLAMA_A8S_FOLD_HEAD", "0") == "1"
+_A8S_PROLOGUE = os.environ.get("BLAMA_A8S_PROLOGUE", "kernel")
 
 
 def _a8s_pos(x: jnp.ndarray, w: QuantTensor, block_n: int, kb: int):

@@ -54,25 +54,28 @@ class SchedulerServer(Server):
 
     def _submit(self, prompt_tokens, params, cb: Callable[[CompleteResponse], None]) -> None:
         vocab = self._model.vocab
+        req = GenRequest(
+            prompt=prompt_tokens,
+            max_tokens=params.max_tokens or 128,
+            sampler_params=SamplerParams(
+                rng_seed=params.seed, temp=params.temperature, top_p=params.top_p
+            ),
+        )
 
         def done(preds):
-            cb([
+            resp = CompleteResponse(
                 TokenData(
                     token_str=vocab.token_to_string(p.token),
                     token_id=p.token,
                     logits=[LogitData(td.token, td.logit) for td in p.logits],
                 )
                 for p in preds
-            ])
+            )
+            resp.finish_reason = req.finish_reason
+            cb(resp)
 
-        self.scheduler.submit(GenRequest(
-            prompt=prompt_tokens,
-            max_tokens=params.max_tokens or 128,
-            sampler_params=SamplerParams(
-                rng_seed=params.seed, temp=params.temperature, top_p=params.top_p
-            ),
-            on_done=done,
-        ))
+        req.on_done = done
+        self.scheduler.submit(req)
 
     def complete_text(self, params: CompleteRequestParams, cb) -> None:
         tokens = self._model.vocab.tokenize(params.prompt, True, True)

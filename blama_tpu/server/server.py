@@ -71,7 +71,14 @@ class TokenData:
     logits: list[LogitData] = field(default_factory=list)
 
 
-CompleteResponse = list  # list[TokenData]
+class CompleteResponse(list):
+    """list[TokenData] wire response, plus an optional `finish_reason`
+    extension ("stop" | "length" | "evicted" | "cancelled" | "rejected")
+    set by the scheduler path so clients can distinguish EOG from pool
+    eviction/truncation (the reference throws instead,
+    Session.cpp:331-333). Plain lists remain accepted everywhere."""
+
+    finish_reason: str | None = None
 
 
 class Server:

@@ -362,3 +362,55 @@ def test_fused_prefill_session_matches_xla_engine(gguf_path):
         np.testing.assert_array_equal(
             np.asarray([l.logit for l in o.logits], np.float32),
             np.asarray([l.logit for l in r.logits], np.float32))
+
+
+def test_matches_per_layer_stacked_float32():
+    """The stacked `layer=` path (merged [L, B, S, Hkv*D] operands, BlockSpec
+    layer indexing) is BIT-IDENTICAL to the per-layer call (ADVICE r3: the
+    engine tests only hit this via the quantized unrolled forward)."""
+    L = 3
+    per, stk_k, stk_v = [], [], []
+    setups = [_setup(seed=10 + i) for i in range(L)]
+    qr, k, v, q_pos, kv_pos, rd, fb = setups[0]
+    B, S, Hkv, D = k.shape
+    invf, ms = effective_inv_freq(rd, D, fb)
+    for i in range(L):
+        ki, vi = setups[i][1], setups[i][2]
+        stk_k.append(np.asarray(ki).reshape(B, S, Hkv * D))
+        stk_v.append(np.asarray(vi).reshape(B, S, Hkv * D))
+        per.append(np.asarray(decode_attention(
+            qr, ki, vi, q_pos, kv_pos, invf, mscale=ms)))
+    k_stacked = jnp.asarray(np.stack(stk_k))   # [L, B, S, Hkv*D]
+    v_stacked = jnp.asarray(np.stack(stk_v))
+    for i in range(L):
+        out = decode_attention(qr, k_stacked, v_stacked, q_pos, kv_pos,
+                               invf, mscale=ms, layer=i)
+        np.testing.assert_array_equal(np.asarray(out), per[i])
+
+
+def test_matches_per_layer_stacked_int8_kv():
+    L = 2
+    setups = [_setup(seed=20 + i) for i in range(L)]
+    qr, k, v, q_pos, kv_pos, rd, fb = setups[0]
+    B, S, Hkv, D = k.shape
+    invf, ms = effective_inv_freq(rd, D, fb)
+    per, ks_l, vs_l, kc_l, vc_l = [], [], [], [], []
+    for i in range(L):
+        kc, ks = quantize_kv(setups[i][1])
+        vc, vs = quantize_kv(setups[i][2])
+        kc_l.append(np.asarray(kc).reshape(B, S, Hkv * D))
+        vc_l.append(np.asarray(vc).reshape(B, S, Hkv * D))
+        ks_l.append(np.asarray(ks))
+        vs_l.append(np.asarray(vs))
+        per.append(np.asarray(decode_attention(
+            qr, kc, vc, q_pos, kv_pos, invf, k_scale=ks, v_scale=vs,
+            mscale=ms)))
+    k_stacked = jnp.asarray(np.stack(kc_l))
+    v_stacked = jnp.asarray(np.stack(vc_l))
+    ks_stacked = jnp.asarray(np.stack(ks_l))   # [L, B, S, Hkv]
+    vs_stacked = jnp.asarray(np.stack(vs_l))
+    for i in range(L):
+        out = decode_attention(qr, k_stacked, v_stacked, q_pos, kv_pos,
+                               invf, k_scale=ks_stacked, v_scale=vs_stacked,
+                               mscale=ms, layer=i)
+        np.testing.assert_array_equal(np.asarray(out), per[i])

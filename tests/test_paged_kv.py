@@ -288,3 +288,76 @@ def test_paged_oversized_prompt_rejected(model):
     # needs 3 pages (+1 headroom) > 2-page pool -> rejected, empty result
     sched.run_until_idle()
     assert holder[0] == []
+
+
+def test_paged_pool_dry_reports_evicted(model):
+    """Pool starvation is observable: the truncated request carries
+    finish_reason == "evicted" (VERDICT r3 next #8), while an oversized
+    prompt is "rejected" and a normal completion is "stop"/"length"."""
+    toks = model.vocab.tokenize("hello world", True, True)
+    sched = ContinuousBatchingScheduler(model, max_batch=1, ctx_size=256,
+                                        paged=True, n_pages=2)
+    holder = {}
+    starved = GenRequest(prompt=toks, max_tokens=10_000,
+                         sampler_params=SamplerParams(temp=0.0),
+                         on_done=lambda g: holder.__setitem__(0, g))
+    sched.submit(starved)
+    sched.run_until_idle()
+    assert 0 < len(holder[0]) < 10_000
+    assert starved.finish_reason in ("evicted", "length")
+    # 2-page pool = 256-slot window = ctx: here the window and pool coincide,
+    # so either reason is honest; with a pool smaller than the window the
+    # reason must be "evicted":
+    sched2 = ContinuousBatchingScheduler(model, max_batch=1, ctx_size=512,
+                                         paged=True, n_pages=2)
+    starved2 = GenRequest(prompt=toks, max_tokens=10_000,
+                          sampler_params=SamplerParams(temp=0.0),
+                          on_done=lambda g: holder.__setitem__(1, g))
+    sched2.submit(starved2)
+    sched2.run_until_idle()
+    assert starved2.finish_reason == "evicted"
+
+    rejected = GenRequest(prompt=list(range(5, 300)), max_tokens=4,
+                          sampler_params=SamplerParams(temp=0.0),
+                          on_done=lambda g: holder.__setitem__(2, g))
+    sched2.submit(rejected)
+    sched2.run_until_idle()
+    assert rejected.finish_reason == "rejected" and holder[2] == []
+
+
+def test_paged_horizon_pool_dry_finishes_early(model):
+    """The horizon loop under paged KV also honors the pool-dry policy."""
+    toks = model.vocab.tokenize("hello world", True, True)
+    sched = ContinuousBatchingScheduler(model, max_batch=1, ctx_size=512,
+                                        paged=True, n_pages=2, horizon=8)
+    holder = {}
+    req = GenRequest(prompt=toks, max_tokens=10_000,
+                     sampler_params=SamplerParams(temp=0.0),
+                     on_done=lambda g: holder.__setitem__(0, g))
+    sched.submit(req)
+    sched.run_until_idle()
+    n = len(holder[0])
+    assert 0 < n < 10_000
+    assert len(toks) + n <= 256  # bounded by the 2-page pool
+    assert req.finish_reason == "evicted"
+
+
+def test_scheduler_server_finish_reason_in_response(model):
+    """SchedulerServer responses carry finish_reason (HTTP extension)."""
+    import threading
+
+    from blama_tpu.server.scheduler_server import SchedulerServer
+    from blama_tpu.server.server import CompleteRequestParams
+
+    srv = SchedulerServer(model, max_batch=2)
+    try:
+        done = threading.Event()
+        box = {}
+        srv.complete_text(
+            CompleteRequestParams(prompt="the cat sat", max_tokens=4,
+                                  temperature=0.0, seed=1),
+            lambda r: (box.setdefault("r", r), done.set()))
+        assert done.wait(120)
+        assert getattr(box["r"], "finish_reason", None) in ("stop", "length")
+    finally:
+        srv.close()
