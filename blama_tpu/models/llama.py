@@ -26,7 +26,8 @@ from ..ops.kv_cache import KVCache, dequantize_kv, quantize_kv
 from ..ops.norms import rms_norm
 from ..ops.pallas.quant_matmul import (
     LoraWrapped, QuantEmbedding, QuantTensor, QuantTensorA8, QuantTensorK4,
-    ShardedQuant, emb_lookup, qmm, qmm_blocked, qmm_nblocked,
+    QuantTensorQ8,
+    ShardedQuant, emb_lookup, qmm, qmm_blocked, qmm_nblocked, qmm_normed,
 )
 from ..ops.rope import apply_rope, rope_angles
 from .config import ModelConfig
@@ -79,6 +80,20 @@ def load_llama_params(
     from ..gguf.constants import GGMLType
 
     def get_t(name: str):
+        if fused_quant and reader.tensors[name].ggml_type in (
+                GGMLType.Q8_0, GGMLType.Q6_K):
+            # Q8_0/Q6_K pack under EVERY fused mode (one engine each: the
+            # exact int8-code kernel; no numerics variants). Mixed-type
+            # GGUFs — e.g. a Q4_K_M file whose head is Q6_K — stream every
+            # supported tensor packed instead of dequantizing the odd ones.
+            from ..ops.pallas.quant_matmul import (
+                repack_q6_k_expanded, repack_q8_0_for_tpu)
+
+            info = reader.tensors[name]
+            repack = (repack_q8_0_for_tpu
+                      if info.ggml_type == GGMLType.Q8_0
+                      else repack_q6_k_expanded)
+            return repack(reader.tensor_bytes(name), info.ne[1], info.ne[0])
         if fused_quant and reader.tensors[name].ggml_type == GGMLType.Q4_K:
             from ..ops.pallas.quant_matmul import (
                 repack_q4k_a8k4, repack_q4k_a8s, repack_q4k_for_tpu,
@@ -148,7 +163,8 @@ def load_llama_params(
     # scan: dynamic-slice fuses into plain dots for free and one traced body
     # compiles much faster.
     any_quant = any(
-        isinstance(v, (QuantTensor, QuantTensorA8, QuantTensorK4))
+        isinstance(v, (QuantTensor, QuantTensorA8, QuantTensorK4,
+                       QuantTensorQ8))
         for vs in layers.values() for v in vs
     )
 
@@ -170,7 +186,7 @@ def load_llama_params(
             def _fusable(ps):
                 return (len({type(w) for w in ps}) == 1
                         and isinstance(ps[0], (QuantTensor, QuantTensorA8,
-                                               QuantTensorK4))
+                                               QuantTensorK4, QuantTensorQ8))
                         and all(jax.tree_util.tree_leaves(w)[0].shape[1]
                                 == w.n_out for w in ps))
 
@@ -218,20 +234,34 @@ def load_llama_params(
     # lane tiling AND exact divisibility for vocab-sharded tensor parallelism.
     # forward() slices logits back to the true vocab size. (QuantTensors pad
     # internally at repack time.)
-    if not isinstance(params["output"], (QuantTensor, QuantTensorA8, QuantTensorK4)):
+    if not isinstance(params["output"], (QuantTensor, QuantTensorA8,
+                                         QuantTensorK4, QuantTensorQ8)):
         v = params["output"].shape[1]
         v_pad = -(-v // 128) * 128
         if v_pad != v:
             params["output"] = np.pad(params["output"], ((0, 0), (0, v_pad - v)))
 
-    _packed = (QuantTensor, QuantTensorA8, QuantTensorK4, QuantEmbedding)
+    _packed = (QuantTensor, QuantTensorA8, QuantTensorK4, QuantTensorQ8,
+               QuantEmbedding)
 
     def conv(a):
         return a if isinstance(a, _packed) else jnp.asarray(a, dtype)
 
-    return jax.tree_util.tree_map(
+    out = jax.tree_util.tree_map(
         conv, params, is_leaf=lambda x: isinstance(x, _packed)
     )
+    if any_quant:
+        # norm weights stay f32 in the unrolled engines (ROUNDED through
+        # `dtype` first, so values match the bf16 storage bit-for-bit):
+        # rms_norm upcasts its weight every call, and XLA SINKS that convert
+        # (+ a scoped-memory copy) into the decode while-loop instead of
+        # hoisting it — ~0.8 ms/step of f32[E] copy stalls at 8B (device
+        # trace round 4). Storing the upcast removes the per-step op.
+        for p in out["layers"]:
+            for k in ("attn_norm", "ffn_norm"):
+                p[k] = p[k].astype(jnp.float32)
+        out["out_norm"] = out["out_norm"].astype(jnp.float32)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -263,6 +293,9 @@ class LlamaStatic:
     # Pallas fused decode attention (single-pass flash over the KV cache with
     # in-kernel rope + INT8 dequant) for T==1 steps; prefill stays XLA.
     attn_fused: bool = False
+    # device mesh (hashable) — enables the per-head shard_map island around
+    # the fused decode kernel (decode_attention_sharded)
+    mesh: object = None
 
     @classmethod
     def of(cls, cfg: ModelConfig) -> "LlamaStatic":
@@ -281,6 +314,7 @@ class LlamaStatic:
             cfg.emb_scale, cfg.norm_plus_one, rope_scale,
             tp_blocks=getattr(cfg, "tp_blocks", 0), yarn=yarn,
             attn_fused=getattr(cfg, "attn_fused", False),
+            mesh=getattr(cfg, "mesh", None),
         )
 
 
@@ -349,6 +383,7 @@ def forward(
     # no rotated/dequantized cache copies (ops/pallas/decode_attention.py).
     from ..ops.pallas import decode_attention as dattn
 
+    _mesh = getattr(cfg, "mesh", None)
     _fused_ok = (
         getattr(cfg, "attn_fused", False)
         and interleaved
@@ -357,11 +392,20 @@ def forward(
         # when every head dim is rotated
         and not (yarn is not None and rope_dim < D)
     )
+    if _fused_ok and _mesh is not None:
+        # sharded fused decode: per-head shard_map island
+        # (decode_attention_sharded). Needs whole kv-head slices per device
+        # and whole batch rows per dp shard; T>1 prefill stays on the XLA
+        # chain under a mesh.
+        _tp, _dp = _mesh.shape["tp"], _mesh.shape["dp"]
+        _fused_ok = (Hkv % _tp == 0 and H % _tp == 0
+                     and tokens.shape[0] % _dp == 0)
     from ..ops.pallas import paged_attention as pattn
 
     if paged:
         use_fused_attn = (
             _fused_ok
+            and _mesh is None
             and tokens.shape[1] == 1
             and pattn.supports(cache.page_size, D, cache.k.dtype)
         )
@@ -371,11 +415,11 @@ def forward(
                                        cache.k.dtype)
         )
     else:
+        _b_local = tokens.shape[0] // (_mesh.shape["dp"] if _mesh is not None else 1)
         use_fused_attn = (
             _fused_ok
             and tokens.shape[1] == 1
-            and dattn.supports(cache.n_slots, D, cache.k.dtype,
-                               tokens.shape[0])
+            and dattn.supports(cache.n_slots, D, cache.k.dtype, _b_local)
         )
         # T > 1 chunks (prompt prefill) take the fused flash-prefill kernel:
         # one streaming pass of the stored cache per chunk instead of the XLA
@@ -383,6 +427,7 @@ def forward(
         # (ops/pallas/decode_attention.py, prefill section)
         use_fused_prefill = (
             _fused_ok
+            and _mesh is None
             and dattn.prefill_supports(tokens.shape[1], cache.n_slots, D,
                                        cache.k.dtype, tokens.shape[0])
         )
@@ -479,10 +524,17 @@ def forward(
                     interleaved=interleaved, causal=cfg.causal, kv_rope=kv_rope,
                 )
         elif use_fused_attn:
-            attn = dattn.decode_attention(
-                q, k_l, v_l, positions[:, 0], new_positions, inv_freq_e,
-                k_scale=ks_l, v_scale=vs_l, mscale=rope_mscale,
-            )
+            if _mesh is not None:
+                attn = dattn.decode_attention_sharded(
+                    _mesh, q, k_l, v_l, positions[:, 0], new_positions,
+                    inv_freq_e, k_scale=ks_l, v_scale=vs_l,
+                    mscale=rope_mscale,
+                )
+            else:
+                attn = dattn.decode_attention(
+                    q, k_l, v_l, positions[:, 0], new_positions, inv_freq_e,
+                    k_scale=ks_l, v_scale=vs_l, mscale=rope_mscale,
+                )
         elif use_fused_prefill:
             attn = dattn.prefill_attention(
                 q, k_l, v_l, positions, new_positions, inv_freq_e,
@@ -525,11 +577,25 @@ def forward(
         values per block) so logits are bit-identical to the sliced path."""
         B, T, E = x.shape
         tpb = getattr(cfg, "tp_blocks", 0)
-        h = norm(x, p["attn_norm"])
-        if "wqkv" in p:
+        # tpb == 0 (plain serving): the RMS norm fuses into the kernel
+        # prologue (qmm_normed) when the weight's dispatch supports it —
+        # the separate norm op's weight operand was scope-prefetched per
+        # layer per step with ~61 us stalls (device trace round 4). The
+        # pinned tp_blocks verification paths keep the XLA norm.
+        if tpb == 0 and "wqkv" in p:
+            qkv = qmm_normed(x, p["attn_norm"], p["wqkv"], eps,
+                             cfg.norm_plus_one)
+            q, k, v = jnp.split(qkv, [H * D, H * D + Hkv * D], axis=-1)
+        elif tpb == 0:
+            q = qmm_normed(x, p["attn_norm"], p["wq"], eps, cfg.norm_plus_one)
+            k = qmm_normed(x, p["attn_norm"], p["wk"], eps, cfg.norm_plus_one)
+            v = qmm_normed(x, p["attn_norm"], p["wv"], eps, cfg.norm_plus_one)
+        elif "wqkv" in p:
+            h = norm(x, p["attn_norm"])
             qkv = qmm_nblocked(h, p["wqkv"], tpb)
             q, k, v = jnp.split(qkv, [H * D, H * D + Hkv * D], axis=-1)
         else:
+            h = norm(x, p["attn_norm"])
             q = qmm_nblocked(h, p["wq"], tpb)
             k = qmm_nblocked(h, p["wk"], tpb)
             v = qmm_nblocked(h, p["wv"], tpb)
@@ -556,16 +622,33 @@ def forward(
                 k.reshape(B, T, Hkv * D), mode="drop")
             v_all = v_all.at[li, barange, slots].set(
                 v.reshape(B, T, Hkv * D), mode="drop")
-        attn = dattn.decode_attention(
-            q, k_all, v_all, positions[:, 0], new_positions, inv_freq_e,
-            k_scale=ks_all, v_scale=vs_all, mscale=rope_mscale, layer=li)
+        if _mesh is not None:
+            attn = dattn.decode_attention_sharded(
+                _mesh, q, k_all, v_all, positions[:, 0], new_positions,
+                inv_freq_e, k_scale=ks_all, v_scale=vs_all,
+                mscale=rope_mscale, layer=li)
+        else:
+            attn = dattn.decode_attention(
+                q, k_all, v_all, positions[:, 0], new_positions, inv_freq_e,
+                k_scale=ks_all, v_scale=vs_all, mscale=rope_mscale, layer=li)
         x = x + qmm_blocked(attn.reshape(B, T, H * D), p["wo"], tpb)
-        h2 = norm(x, p["ffn_norm"])
-        if "wgu" in p:
+        if tpb == 0 and "wgu" in p:
+            gu = qmm_normed(x, p["ffn_norm"], p["wgu"], eps, cfg.norm_plus_one)
+            gate, up = jnp.split(gu, 2, axis=-1)
+            x = x + qmm_blocked(act(gate) * up, p["w_down"], tpb)
+        elif tpb == 0:
+            gate = act(qmm_normed(x, p["ffn_norm"], p["w_gate"], eps,
+                                  cfg.norm_plus_one))
+            up = qmm_normed(x, p["ffn_norm"], p["w_up"], eps,
+                            cfg.norm_plus_one)
+            x = x + qmm_blocked(gate * up, p["w_down"], tpb)
+        elif "wgu" in p:
+            h2 = norm(x, p["ffn_norm"])
             gu = qmm_nblocked(h2, p["wgu"], tpb)
             gate, up = jnp.split(gu, 2, axis=-1)
             x = x + qmm_blocked(act(gate) * up, p["w_down"], tpb)
         else:
+            h2 = norm(x, p["ffn_norm"])
             gate = act(qmm_nblocked(h2, p["w_gate"], tpb))
             x = x + qmm_blocked(gate * qmm_nblocked(h2, p["w_up"], tpb),
                                 p["w_down"], tpb)
@@ -584,17 +667,26 @@ def forward(
             # loop: dense descending layouts make these reshapes bitcasts,
             # and the merged minor dims tile (32, 128) for int8 — a 5-D
             # [.., Hkv, D] pallas operand would pad the (8, 128) minor tile
-            # 4x (measured 71.6 us/attention call vs 23.5 before)
+            # 4x (measured 71.6 us/attention call vs 23.5 before).
+            # Fast loops (ops/generate_loop) carry the cache PRE-MERGED
+            # across steps (k.ndim == 4): inside a lax.scan the while-carry
+            # layout XLA picks for the 5-D array made the per-step merge a
+            # real relayout copy of the whole cache (~0.5 ms/step at
+            # 8B/S=2048 int8, device trace round 4) — merging once outside
+            # the loop removes it.
             L_ = k_all.shape[0]
             Scache = k_all.shape[2]
-            k_all = k_all.reshape(L_, -1, Scache, Hkv * D)
-            v_all = v_all.reshape(L_, -1, Scache, Hkv * D)
+            premerged = k_all.ndim == 4
+            if not premerged:
+                k_all = k_all.reshape(L_, -1, Scache, Hkv * D)
+                v_all = v_all.reshape(L_, -1, Scache, Hkv * D)
             barange = jnp.arange(tokens.shape[0], dtype=jnp.int32)[:, None]
             for li_, p_ in enumerate(params["layers"]):
                 x, k_all, v_all, ks_all, vs_all = layer_fn_stacked(
                     x, p_, li_, k_all, v_all, ks_all, vs_all, barange)
-            k_all = k_all.reshape(L_, -1, Scache, Hkv, D)
-            v_all = v_all.reshape(L_, -1, Scache, Hkv, D)
+            if not premerged:
+                k_all = k_all.reshape(L_, -1, Scache, Hkv, D)
+                v_all = v_all.reshape(L_, -1, Scache, Hkv, D)
         else:
             for li_, p_ in enumerate(params["layers"]):
                 x, (k_l, v_l, ks_l, vs_l) = layer_fn(
@@ -629,7 +721,7 @@ def forward(
         return last_h, new_cache
     tpb_head = getattr(cfg, "tp_blocks", 0)
     if isinstance(params["output"], (QuantTensor, QuantTensorA8, QuantTensorK4,
-                                     ShardedQuant, LoraWrapped)):
+                                     QuantTensorQ8, ShardedQuant, LoraWrapped)):
         # vocab-sharded packed head: tp_blocks pins lane blocks + the min
         # correction so logits match at any sharding (falls back to qmm
         # for unsupported layouts, mirrored by shard_quant_llama)
@@ -710,10 +802,14 @@ def ring_forward(
     forward() (unrotated K, slot-scatter), so decode continues on the normal
     engines afterwards.
 
-    Dense (non-quantized) weight trees only; float KV cache only. Ring
-    prefill is its own engine mode for verification (online-softmax
-    numerics; prover/verifier must both use it, like flash attention).
+    Serves dense trees (lax.scan) AND the packed quantized engines
+    (unrolled layer list; matmuls run as row-sharded shard_map islands —
+    qmm_row_sharded — since a pallas_call is opaque to GSPMD), with float or
+    INT8 KV caches (quantize-on-write like forward()). Ring prefill remains
+    its own engine mode for verification (online-softmax numerics;
+    prover/verifier must both use it, like flash attention).
     """
+    from ..ops.pallas.quant_matmul import qmm_replicated, qmm_row_sharded
     from ..ops.ring_attention import ring_attention
 
     H, Hkv, D = cfg.n_head, cfg.n_head_kv, cfg.head_dim
@@ -738,13 +834,21 @@ def ring_forward(
     rope = rope_angles(positions, rope_dim, freq_base, rs, yarn=yarn,
                        freq_factors=ff)
 
-    def layer_fn(x, scanned):
-        p, k_l, v_l = scanned
+    write = jax.vmap(lambda c, s, n: c.at[s].set(n, mode="drop"))
+
+    def mm(h, w):
+        return qmm_row_sharded(h, w, mesh)
+
+    def layer_body(x, p, k_l, v_l, ks_l, vs_l, dense):
         B, T, E = x.shape
         h = norm(x, p["attn_norm"])
-        q = h @ p["wq"]
-        k = h @ p["wk"]
-        v = h @ p["wv"]
+        if not dense and "wqkv" in p:
+            qkv = mm(h, p["wqkv"])
+            q, k, v = jnp.split(qkv, [H * D, H * D + Hkv * D], axis=-1)
+        else:
+            q = mm(h, p["wq"]) if not dense else h @ p["wq"]
+            k = mm(h, p["wk"]) if not dense else h @ p["wk"]
+            v = mm(h, p["wv"]) if not dense else h @ p["wv"]
         if "bq" in p:
             q = q + p["bq"]
             k = k + p["bk"]
@@ -755,30 +859,88 @@ def ring_forward(
         q_rot = apply_rope(q, positions, rope_dim, freq_base, True, cos_sin=rope)
         k_rot = apply_rope(k, positions, rope_dim, freq_base, True, cos_sin=rope)
 
-        # cache stores UNROTATED K (rotate-on-read design, ops/attention.py)
-        write = jax.vmap(lambda c, s, n: c.at[s].set(n, mode="drop"))
-        k_l = write(k_l, slots, k)
-        v_l = write(v_l, slots, v)
+        # cache stores UNROTATED K (rotate-on-read design, ops/attention.py);
+        # INT8 mode quantizes on write exactly like forward()
+        if ks_l is not None:
+            k_codes, k_sc = quantize_kv(k)
+            v_codes, v_sc = quantize_kv(v)
+            k_l = write(k_l, slots, k_codes)
+            v_l = write(v_l, slots, v_codes)
+            ks_l = write(ks_l, slots, k_sc)
+            vs_l = write(vs_l, slots, v_sc)
+        else:
+            k_l = write(k_l, slots, k)
+            v_l = write(v_l, slots, v)
 
         attn = ring_attention(q_rot, k_rot, v, positions, kv_prompt_pos,
                               mesh, axis="sp", causal=cfg.causal)
-        x = x + attn.reshape(B, T, H * D) @ p["wo"]
+        ar = attn.reshape(B, T, H * D)
+        x = x + (ar @ p["wo"] if dense else mm(ar, p["wo"]))
 
         h2 = norm(x, p["ffn_norm"])
-        x = x + (act(h2 @ p["w_gate"]) * (h2 @ p["w_up"])) @ p["w_down"]
+        if not dense and "wgu" in p:
+            gu = mm(h2, p["wgu"])
+            gate, up = jnp.split(gu, 2, axis=-1)
+            x = x + mm(act(gate) * up, p["w_down"])
+        elif dense:
+            x = x + (act(h2 @ p["w_gate"]) * (h2 @ p["w_up"])) @ p["w_down"]
+        else:
+            x = x + mm(act(mm(h2, p["w_gate"])) * mm(h2, p["w_up"]),
+                       p["w_down"])
         if "cvec" in p:
             x = x + p["cvec"]
-        return x, (k_l, v_l)
+        return x, (k_l, v_l, ks_l, vs_l)
 
-    x, (k_new, v_new) = jax.lax.scan(
-        layer_fn, x, (params["layers"], cache.k, cache.v))
+    if isinstance(params["layers"], (list, tuple)):
+        # unrolled packed engines (q4k_*/q8_0/q6_k): per-layer kernels as
+        # row-sharded islands; cache stays the stacked [L, ...] arrays
+        k_new, v_new = cache.k, cache.v
+        ks_new, vs_new = cache.k_scale, cache.v_scale
+        for li, p_l in enumerate(params["layers"]):
+            x, (k_l, v_l, ks_l, vs_l) = layer_body(
+                x, p_l, k_new[li], v_new[li],
+                None if ks_new is None else ks_new[li],
+                None if vs_new is None else vs_new[li], dense=False)
+            k_new = k_new.at[li].set(k_l)
+            v_new = v_new.at[li].set(v_l)
+            if ks_new is not None:
+                ks_new = ks_new.at[li].set(ks_l)
+                vs_new = vs_new.at[li].set(vs_l)
+    else:
+        quant_kv = cache.k_scale is not None
+
+        def layer_fn(x, scanned):
+            if quant_kv:
+                p, k_l, v_l, ks_l, vs_l = scanned
+            else:
+                (p, k_l, v_l), ks_l, vs_l = scanned, None, None
+            x, out = layer_body(x, p, k_l, v_l, ks_l, vs_l, dense=True)
+            return x, (out if quant_kv else out[:2])
+
+        if quant_kv:
+            x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+                layer_fn, x, (params["layers"], cache.k, cache.v,
+                              cache.k_scale, cache.v_scale))
+        else:
+            x, (k_new, v_new) = jax.lax.scan(
+                layer_fn, x, (params["layers"], cache.k, cache.v))
+            ks_new = vs_new = None
 
     last_h = jax.vmap(lambda xb, i: xb[i])(x, logits_index)
     last_h = norm(last_h, params["out_norm"])
-    logits = jnp.dot(last_h.astype(params["output"].dtype), params["output"],
-                     preferred_element_type=jnp.float32)
-    logits = logits[..., : params["tok_emb"].shape[0]]
-    return logits, KVCache(k_new, v_new, new_positions)
+    out_w = params["output"]
+    if isinstance(out_w, jnp.ndarray):
+        logits = jnp.dot(last_h.astype(out_w.dtype), out_w,
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = qmm_replicated(last_h.astype(jnp.float32), out_w, mesh)
+    logits = logits[..., : cfg_vocab_of(params)]
+    return logits, KVCache(k_new, v_new, new_positions, ks_new, vs_new)
+
+
+def cfg_vocab_of(params) -> int:
+    """True vocab width: the (possibly packed) embedding table's row count."""
+    return params["tok_emb"].shape[0]
 
 
 def make_ring_prefill_fn(cfg: ModelConfig, mesh):

@@ -25,6 +25,42 @@ from ..models import llama as llama_mod
 from .kv_cache import KVCache
 
 
+def _fused_merge(st, params, cache):
+    """Pre-merge a dense stacked cache to [L, B, S, Hkv*D] for the loop.
+
+    The unrolled fused-attention forward reads/writes the cache merged; if
+    the scan carry stays 5-D, XLA's while-carry layout turns the per-step
+    merge into a full-cache relayout copy (~0.5 ms/step at 8B/S=2048 —
+    device trace round 4). Merging once before the scan (a bitcast at the
+    jit boundary: the input layout is descending) and unmerging after makes
+    the in-loop reshapes disappear. Returns (cache, (Hkv, D) | None)."""
+    import dataclasses
+
+    from . import paged_kv as pkv
+
+    if (getattr(st, "attn_fused", False)
+            and isinstance(params.get("layers"), (list, tuple))
+            and not isinstance(cache, pkv.PagedKVCache)
+            and cache.k.ndim == 5):
+        L, B, S, Hkv, D = cache.k.shape
+        return dataclasses.replace(
+            cache, k=cache.k.reshape(L, B, S, Hkv * D),
+            v=cache.v.reshape(L, B, S, Hkv * D)), (Hkv, D)
+    return cache, None
+
+
+def _fused_unmerge(cache, hd):
+    import dataclasses
+
+    if hd is None:
+        return cache
+    Hkv, D = hd
+    L, B, S, _ = cache.k.shape
+    return dataclasses.replace(
+        cache, k=cache.k.reshape(L, B, S, Hkv, D),
+        v=cache.v.reshape(L, B, S, Hkv, D))
+
+
 def _forward_for(st):
     """Pick the model forward by static type (resolved at trace time) so the
     fused loop serves MoE (Mixtral-family) models too."""
@@ -59,6 +95,7 @@ def greedy_generate(
     li = jnp.full((B,), n_prompt - 1, jnp.int32)
 
     logits, cache = fwd(params, st, prompt_tokens, positions, slots, cache, li)
+    cache, _hd = _fused_merge(st, params, cache)
 
     def body(carry, _):
         cache, logits, pos = carry
@@ -79,7 +116,7 @@ def greedy_generate(
         tokens.swapaxes(0, 1),
         top_ids.swapaxes(0, 1),
         top_vals.swapaxes(0, 1),
-        cache,
+        _fused_unmerge(cache, _hd),
     )
 
 
@@ -113,6 +150,7 @@ def scheduler_loop(
 
     fwd = _forward_for(st)
     B = logits0.shape[0]
+    cache, _hd = _fused_merge(st, params, cache)
     paged = isinstance(cache, pkv.PagedKVCache)
     if paged:
         G = cache.page_size
@@ -147,7 +185,7 @@ def scheduler_loop(
         (forced_toks.swapaxes(0, 1), claimed_ids.swapaxes(0, 1)),
         length=n_steps)
     return (toks.swapaxes(0, 1), tids.swapaxes(0, 1), tvals.swapaxes(0, 1),
-            cvals.swapaxes(0, 1), logits, cache)
+            cvals.swapaxes(0, 1), logits, _fused_unmerge(cache, _hd))
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -168,6 +206,7 @@ def teacher_forced(
     (all_logits [B, n, V] f32, cache)."""
     B, n = tokens.shape
     fwd = _forward_for(st)
+    cache, _hd = _fused_merge(st, params, cache)
 
     def body(carry, tok):
         cache, pos = carry
@@ -179,7 +218,7 @@ def teacher_forced(
 
     (cache, _), all_logits = jax.lax.scan(
         body, (cache, start_pos), tokens.swapaxes(0, 1))
-    return all_logits.swapaxes(0, 1), cache
+    return all_logits.swapaxes(0, 1), _fused_unmerge(cache, _hd)
 
 
 @partial(jax.jit, static_argnums=(0, 5))
@@ -201,6 +240,7 @@ def continue_greedy(
     """
     B = logits0.shape[0]
     fwd = _forward_for(st)
+    cache, _hd = _fused_merge(st, params, cache)
 
     def body(carry, _):
         cache, logits, pos = carry
@@ -214,4 +254,4 @@ def continue_greedy(
     (cache, _, _), (tokens, all_logits) = jax.lax.scan(
         body, (cache, logits0, start_pos), None, length=n_steps
     )
-    return tokens.swapaxes(0, 1), all_logits.swapaxes(0, 1), cache
+    return tokens.swapaxes(0, 1), all_logits.swapaxes(0, 1), _fused_unmerge(cache, _hd)

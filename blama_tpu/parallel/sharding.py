@@ -89,11 +89,12 @@ def shard_quant_llama(w: dict, mesh: Mesh, tp: str = "tp",
 
     from ..ops.pallas.quant_matmul import (
         TPB_BLOCK_N, QuantEmbedding, QuantTensor, QuantTensorA8,
-        QuantTensorK4, ShardedQuant, _parts_supported, _pinned_supported,
+        QuantTensorK4, QuantTensorQ8, ShardedQuant, _parts_supported,
+        _pinned_supported,
     )
 
     tp_size = mesh.shape[tp]
-    QT = (QuantTensor, QuantTensorA8, QuantTensorK4)
+    QT = (QuantTensor, QuantTensorA8, QuantTensorK4, QuantTensorQ8)
 
     def put(a, spec):
         return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))

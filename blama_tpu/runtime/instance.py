@@ -126,11 +126,14 @@ class Instance:
                 from ..ops.pallas import decode_attention as dattn
 
                 log = logging.getLogger("blama_tpu")
-                if cfg.is_moe or mesh is not None:
+                _tp = mesh.shape.get("tp", 1) if mesh is not None else 1
+                if cfg.is_moe or (mesh is not None and (
+                        cfg.n_head_kv % _tp or cfg.n_head % _tp)):
                     log.warning(
                         "flash_attn requested but unsupported with %s; "
                         "using XLA attention",
-                        "MoE" if cfg.is_moe else "a device mesh")
+                        "MoE" if cfg.is_moe else
+                        f"tp={_tp} not dividing the head counts")
                 elif not dattn.supports(self.ctx_len, cfg.head_dim_,
                                         self.cache.k.dtype):
                     log.warning(
@@ -168,19 +171,22 @@ class Instance:
         if self.params.ring_mesh is not None:
             import logging
 
-            dense = not isinstance(self.model.weights.get("layers"), (list, tuple))
+            # round 4: ring prefill composes with the PRODUCTION engine —
+            # packed quantized weights (row-sharded shard_map islands,
+            # qmm_row_sharded) and INT8 KV (quantize-on-write) both serve;
+            # only a tp mesh (different parallelism of the same weights) and
+            # MoE remain out of scope
             if (cfg.arch in ("llama", "mistral", "qwen2", "gemma", "gemma2",
                              "phi3")
-                    and not cfg.is_moe and dense
-                    and self.params.kv_dtype != "int8" and mesh is None):
+                    and not cfg.is_moe and mesh is None):
                 from ..models.llama import make_ring_prefill_fn
 
                 self._ring_step = make_ring_prefill_fn(cfg, self.params.ring_mesh)
             else:
                 logging.getLogger("blama_tpu").warning(
                     "ring_mesh requested but unsupported for this "
-                    "configuration (needs a dense llama-family model, float "
-                    "KV, no tp mesh); using chunked prefill")
+                    "configuration (needs a llama-family model, no tp "
+                    "mesh); using chunked prefill")
 
         self._session: Session | None = None
         self._loras: list = []

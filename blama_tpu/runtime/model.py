@@ -58,16 +58,25 @@ class Model:
         if self.params.attn not in ("xla", "fused"):
             raise ValueError(
                 f"ModelParams.attn must be 'xla' or 'fused', got {self.params.attn!r}")
-        if self.params.attn == "fused" and (
-                self.params.mesh is not None or self.config.is_moe):
-            # The Pallas decode kernel is an opaque custom call over the whole
-            # KV cache — GSPMD can't partition it across a tp-sharded cache,
-            # and the MoE forward doesn't route through it. Since fused
-            # attention is a verification *mode* (prover and verifier must
-            # match numerics), refusing is safer than a silent fallback.
+        if self.params.attn == "fused" and self.config.is_moe:
+            # The MoE forward doesn't route through the decode kernel. Since
+            # fused attention is a verification *mode* (prover and verifier
+            # must match numerics), refusing is safer than a silent fallback.
             raise ValueError(
-                "attn='fused' is unsupported with a mesh or MoE model; "
-                "use attn='xla' (the sharded/MoE forwards are XLA-attention only)")
+                "attn='fused' is unsupported with a MoE model; "
+                "use attn='xla' (the MoE forward is XLA-attention only)")
+        if self.params.attn == "fused" and self.params.mesh is not None:
+            # sharded fused decode runs as a per-head shard_map island
+            # (ops/pallas/decode_attention.decode_attention_sharded); it
+            # needs whole kv-head slices per tp device. Per-head arithmetic
+            # is tp-invariant, so prover/verifier at different tp still
+            # match bit-exactly (tests/test_parallel.py).
+            tp = self.params.mesh.shape.get("tp", 1)
+            if self.config.n_head_kv % tp or self.config.n_head % tp:
+                raise ValueError(
+                    f"attn='fused' on a tp={tp} mesh needs tp to divide "
+                    f"n_head_kv={self.config.n_head_kv} and "
+                    f"n_head={self.config.n_head}")
         self.config.attn_fused = self.params.attn == "fused"
         self.config.mesh = self.params.mesh  # MoE fixed-topology shard_map
         self.vocab = Vocab.from_gguf(self.reader)
@@ -80,11 +89,19 @@ class Model:
         # native 4.5 b/w layout (lowest memory); q4k_a8 = int8-MXU W4A8
         fused = {"q4k_fused": True, "q4k_fused_k4": "k4",
                  "q4k_a8": "a8", "q4k_a8_k4": "a8k4",
-                 "q4k_a8_xla": "a8x"}.get(self.params.dtype, False)
+                 "q4k_a8_xla": "a8x",
+                 # q8_0_fused: Q8_0 tensors stream packed (int8 codes +
+                 # per-32 f32 scales, 9 b/w vs 16 dequantized); Q4_K tensors
+                 # in the same file take the exact fused kernel. The Q8_0
+                 # kernel is value-exact vs host dequant, so this is a
+                 # verification-grade engine like q4k_fused.
+                 "q8_0_fused": True, "q6_k_fused": True}.get(
+                     self.params.dtype, False)
         dtype = (jnp.bfloat16
                  if self.params.dtype in ("bfloat16", "q4k_fused",
                                           "q4k_fused_k4", "q4k_a8",
-                                          "q4k_a8_k4", "q4k_a8_xla")
+                                          "q4k_a8_k4", "q4k_a8_xla",
+                                          "q8_0_fused", "q6_k_fused")
                  else jnp.float32)
         arch = self.config.arch
         if progress_cb:

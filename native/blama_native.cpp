@@ -27,11 +27,15 @@ inline float f16_to_f32(uint16_t h) {
         if (man == 0) {
             bits = sign;
         } else {
-            // subnormal
+            // subnormal: value = man * 2^-24; after normalizing (leading
+            // bit at position 10) the f32 exponent is -14 - shift
+            // (NOT -15 - shift: f16 subnormals share the 2^-14 scale of
+            // the smallest normal — the off-by-one halved every subnormal
+            // block scale, caught by tests/test_native.py subnormal cases)
             int shift = 0;
             while (!(man & 0x400)) { man <<= 1; ++shift; }
             man &= 0x3FF;
-            bits = sign | ((127 - 15 - shift) << 23) | (man << 13);
+            bits = sign | ((127 - 14 - shift) << 23) | (man << 13);
         }
     } else if (exp == 31) {
         bits = sign | 0x7F800000 | (man << 13);
@@ -136,7 +140,10 @@ void blama_dequant_q6k(const uint8_t* src, float* dst, int64_t n_blocks) {
 
 // Q8_0 blocks (34 B) → float32, n_blocks * 32 values.
 void blama_dequant_q8_0(const uint8_t* src, float* dst, int64_t n_blocks) {
-    parallel_for(std::max<int64_t>(n_blocks / 4096, 1), [&](int64_t clo, int64_t chi) {
+    // ceil: a floor here dropped the tail (up to 4095 blocks) whenever
+    // n_blocks wasn't a 4096 multiple, leaving dst uninitialized (caught by
+    // tests/test_native.py tail case, round 4)
+    parallel_for(std::max<int64_t>((n_blocks + 4095) / 4096, 1), [&](int64_t clo, int64_t chi) {
         int64_t lo = clo * 4096, hi = std::min(n_blocks, chi * 4096);
         for (int64_t b = lo; b < hi; ++b) {
             const uint8_t* blk = src + b * 34;

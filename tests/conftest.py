@@ -33,3 +33,28 @@ assert jax.default_backend() == "cpu", "tests must not run on the tunneled TPU"
 jax.config.update("jax_compilation_cache_dir", str(_ROOT / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _no_persistent_cache_for_scheduler_tests(request):
+    """Disable the persistent compile cache for the scheduler test modules.
+
+    Each ContinuousBatchingScheduler instance creates a fresh `@jax.jit`
+    step closure; identical HLO means the persistent cache serves it via
+    executable DESERIALIZATION instead of compilation. After ~280 preceding
+    tests the XLA:CPU AOT loader segfaults/aborts on exactly those loads
+    (observed deterministically at test_horizon_* in four full-suite runs;
+    the same tests pass standalone — a jax/XLA process-state bug, not ours).
+    Compiling these tiny programs fresh sidesteps it."""
+    if request.module.__name__ in ("test_scheduler", "test_paged_kv",
+                                   "test_http_server", "test_examples"):
+        import jax
+
+        jax.config.update("jax_enable_compilation_cache", False)
+        yield
+        jax.config.update("jax_enable_compilation_cache", True)
+    else:
+        yield

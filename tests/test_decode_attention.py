@@ -156,8 +156,13 @@ def test_attn_param_validation(tmp_path):
     write_tiny_llama(p, GGMLType.F32)
     with pytest.raises(ValueError, match="must be 'xla' or 'fused'"):
         Model(p, ModelParams(dtype="float32", attn="flash"))
-    with pytest.raises(ValueError, match="unsupported with a mesh"):
-        Model(p, ModelParams(dtype="float32", attn="fused", mesh=make_mesh(tp=4)))
+    # fused + mesh is supported (per-head shard_map island, round 4) but
+    # still rejects geometries the island can't shard: tp must divide the
+    # head counts (whole kv-head slices per device)
+    with pytest.raises(ValueError, match="needs tp to divide"):
+        Model(p, ModelParams(dtype="float32", attn="fused", mesh=make_mesh(tp=8)))
+    m = Model(p, ModelParams(dtype="float32", attn="fused", mesh=make_mesh(tp=2)))
+    m.close()
 
 
 # --- session-level engine-mode tests ---------------------------------------

@@ -64,3 +64,34 @@ def test_dequantize_dispatch_uses_native(lib):
     via_dispatch = quants.dequantize(packed, GGMLType.Q4_K, (4, 512))
     direct = quants.dequantize_q4_k(packed, 4, 512)
     np.testing.assert_array_equal(via_dispatch, direct)
+
+
+@pytest.mark.parametrize("t", [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0])
+def test_native_dequant_subnormal_scales(lib, t):
+    """Tiny weights force SUBNORMAL f16 block scales (d < 2^-14): the native
+    f16_to_f32 subnormal branch had an exponent off-by-one that halved every
+    subnormal scale (caught via a q6_k round-trip, round 4)."""
+    block = 256 if t.name.endswith("K") else 32
+    x = (RNG.standard_normal((8, block * 4)) * 2e-4).astype(np.float32)
+    packed = quants.quantize(x, t)
+    fn = getattr(quants, f"dequantize_{t.name.lower()}")
+    ref = fn(packed, 8, block * 4)
+    assert np.abs(ref).max() > 0
+    # the fixture must actually exercise subnormal f16 scales
+    f16 = np.frombuffer(packed.tobytes(), np.float16)
+    tiny = (np.abs(f16.astype(np.float32)) < 2.0 ** -14) & (f16 != 0)
+    assert tiny.any(), "fixture produced no subnormal f16 scale words"
+    out = native.native_dequantize(t.name, packed, x.size).reshape(8, block * 4)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_native_q8_0_tail_blocks(lib):
+    """n_blocks not a multiple of the q8_0 parallel chunk (4096): the tail
+    must still dequantize (a floor division dropped it — round 4)."""
+    n_blocks = 4100
+    x = (RNG.standard_normal((1, n_blocks * 32)) * 0.5).astype(np.float32)
+    packed = quants.quantize(x, GGMLType.Q8_0)
+    ref = quants.dequantize_q8_0(np.frombuffer(packed.tobytes(), np.uint8),
+                                 1, n_blocks * 32)
+    out = native.native_dequantize("Q8_0", packed, x.size).reshape(1, -1)
+    np.testing.assert_array_equal(out, ref)

@@ -317,3 +317,83 @@ def test_k_shard_chunked_psum_bitexact_vs_unchunked():
     finally:
         qm._K_PSUM_CHUNKS = old
     np.testing.assert_array_equal(out, ref)
+
+
+def _fused_session(path, dtype, mesh, tp_blocks, kv_dtype="int8", n=6,
+                   prompt="hello world"):
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+
+    m = Model(path, ModelParams(dtype=dtype, mesh=mesh, tp_blocks=tp_blocks,
+                                attn="fused"))
+    inst = Instance(m, InstanceInitParams(ctx_size=64, kv_dtype=kv_dtype,
+                                          fast_greedy=False))
+    assert inst.step_config.attn_fused  # the island actually engaged
+    s = inst.start_session(SessionInitParams(seed=3, temperature=0.0))
+    s.set_initial_prompt(m.vocab.tokenize(prompt, True, True))
+    preds = s.complete(CompleteParams(max_tokens=n))
+    inst.stop_session()
+    m.close()
+    return preds
+
+
+def test_fused_attention_sharded_bit_exact(tmp_path):
+    """Fused (Pallas) decode attention under a tp mesh — the per-head
+    shard_map island (VERDICT r3 #5): with tp_blocks pinning the matmul
+    topology, logits are BIT-IDENTICAL at tp 1/2/4 incl. INT8 KV, because
+    per-head attention arithmetic never crosses devices."""
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "fa.gguf")
+    write_tiny_llama(p, GGMLType.Q8_0, spec={"n_head": 8, "n_head_kv": 4})
+    solo = _fused_session(p, "float32", None, 8)
+    tp1 = _fused_session(p, "float32", make_mesh(1, 1), 8)
+    tp2 = _fused_session(p, "float32", make_mesh(1, 2), 8)
+    tp4 = _fused_session(p, "float32", make_mesh(1, 4), 8)
+    # greedy tokens + top-10 sets agree everywhere; logit equality is
+    # backend-dependent: on real TPU the kernel is an isolated Mosaic custom
+    # call whose per-head instructions don't depend on the local head count,
+    # so any tp is bit-identical; on the CPU interpret path pallas INLINES
+    # into XLA and reduce codegen varies with local shard shapes (verified:
+    # the kernel called directly on half the heads reproduces the full-call
+    # bits exactly — the ulps appear only through interpret-mode fusion)
+    exact = jax.default_backend() == "tpu"
+    for a, b, c, d in zip(solo, tp1, tp2, tp4):
+        assert a.token == b.token == c.token == d.token
+        assert [l.token for l in a.logits] == [l.token for l in b.logits] \
+            == [l.token for l in c.logits] == [l.token for l in d.logits]
+        rows = [[l.logit for l in x.logits] for x in (a, b, c, d)]
+        for r in rows[1:]:
+            if exact:
+                assert r == rows[0]
+            else:
+                np.testing.assert_allclose(r, rows[0], rtol=1e-5, atol=1e-5)
+
+
+def test_fused_attention_sharded_quantized_engine(tmp_path):
+    """Config #4 shape: packed q4k_a8 weights (ShardedQuant islands) + INT8
+    KV + fused attention island on a tp mesh — greedy tokens and captured
+    top-10 match the solo engine exactly (stacked-cache kernel path)."""
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "faq.gguf")
+    write_tiny_llama(p, GGMLType.Q4_K,
+                     spec=dict(n_layer=2, n_embd=1024, n_ff=2048,
+                               n_head=8, n_head_kv=4))
+    solo = _fused_session(p, "q4k_a8", None, 4)
+    tp1 = _fused_session(p, "q4k_a8", make_mesh(1, 1), 4)
+    tp2 = _fused_session(p, "q4k_a8", make_mesh(1, 2), 4)
+    exact = jax.default_backend() == "tpu"
+    for a, b, c in zip(solo, tp1, tp2):
+        assert a.token == b.token == c.token
+        assert [l.token for l in a.logits] == [l.token for l in b.logits] \
+            == [l.token for l in c.logits]
+        rows = [[l.logit for l in x.logits] for x in (a, b, c)]
+        for r in rows[1:]:
+            if exact:
+                assert r == rows[0]
+            else:
+                np.testing.assert_allclose(r, rows[0], rtol=1e-4, atol=1e-5)

@@ -411,3 +411,175 @@ def test_fused_projection_layout(tmp_path):
     m.close()
     for o, r in zip(fused, rep):
         assert [l.logit for l in o.logits] == [l.logit for l in r.logits]
+
+
+# --- Q8_0 packed engine (VERDICT r3 #3 / BASELINE config #3) -----------------
+
+def _q8_weight(N=512, K=512, seed=0):
+    rng = np.random.default_rng(seed)
+    wf = rng.standard_normal((N, K)).astype(np.float32) * 0.05
+    packed = quants.quantize(wf, GGMLType.Q8_0)
+    w_exact = quants.dequantize(packed, GGMLType.Q8_0, (N, K))
+    return packed, w_exact, N, K
+
+
+def test_q8_repack_matches_dequant():
+    """Repacked codes·scales reconstruct the host dequant values bitwise."""
+    from blama_tpu.ops.pallas.quant_matmul import repack_q8_0_for_tpu
+
+    packed, w_exact, N, K = _q8_weight()
+    qt = repack_q8_0_for_tpu(packed, N, K)
+    codes = np.asarray(qt.codes)[:, :N]
+    scales = np.asarray(qt.scales)[:, :N]
+    recon = codes.astype(np.float32) * np.repeat(scales, 32, axis=0)
+    np.testing.assert_array_equal(recon, w_exact.T)
+
+
+def test_q8_kernel_matches_exact_dequant_matmul():
+    from blama_tpu.ops.pallas.quant_matmul import (
+        q8_0_matmul, repack_q8_0_for_tpu)
+
+    packed, w_exact, N, K = _q8_weight()
+    qt = repack_q8_0_for_tpu(packed, N, K)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((8, K)).astype(np.float32)
+    y = np.asarray(q8_0_matmul(jnp.asarray(x), qt))
+    np.testing.assert_allclose(y, x @ w_exact.T, rtol=1e-5, atol=1e-5)
+
+
+def test_q8_qmm_padding_and_dispatch():
+    from blama_tpu.ops.pallas.quant_matmul import repack_q8_0_for_tpu
+
+    rng = np.random.default_rng(2)
+    N, K = 384, 256  # N not a multiple of 256
+    wf = rng.standard_normal((N, K)).astype(np.float32) * 0.05
+    packed = quants.quantize(wf, GGMLType.Q8_0)
+    w_exact = quants.dequantize(packed, GGMLType.Q8_0, (N, K))
+    qt = repack_q8_0_for_tpu(packed, N, K)
+    assert qt.codes.shape[1] == 512 and qt.n_out == 384
+    x = rng.standard_normal((4, K)).astype(np.float32)
+    y = np.asarray(qmm(jnp.asarray(x), qt))
+    assert y.shape == (4, 384)
+    np.testing.assert_allclose(y, x @ w_exact.T, rtol=1e-5, atol=1e-5)
+
+
+def test_q8_fused_session_matches_dequant_session(tmp_path):
+    """q8_0_fused greedy tokens == dequant-to-bf16 greedy tokens, and the
+    fused engine replays ITSELF bit-exactly (fillCtx score 1.0) — the same
+    verification-grade contract as q4k_fused."""
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.runtime.verify import LogitComparer, MetricsAggregator
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "t8.gguf")
+    write_tiny_llama(p, GGMLType.Q8_0)
+
+    def run(dtype):
+        m = Model(p, ModelParams(dtype=dtype))
+        inst = Instance(m, InstanceInitParams(ctx_size=64))
+        s = inst.start_session(SessionInitParams(seed=1, temperature=0.0))
+        toks = m.vocab.tokenize("hello world", True, True)
+        s.set_initial_prompt(toks)
+        preds = s.complete(CompleteParams(max_tokens=5))
+        inst.stop_session()
+        # replay on a fresh session of the same engine: bit-exact
+        s2 = inst.start_session(SessionInitParams(seed=1, temperature=0.0))
+        s2.set_initial_prompt(toks)
+        replayed = s2.fill_ctx(preds)
+        agg = MetricsAggregator()
+        score = 0.0
+        for o, r in zip(preds, replayed):
+            score = agg.push_and_verify(LogitComparer.compare(o.logits, r.logits))
+        inst.stop_session()
+        m.close()
+        return [pr.token for pr in preds], score
+
+    toks8, score8 = run("q8_0_fused")
+    toksb, _ = run("bfloat16")
+    assert toks8 == toksb
+    assert score8 == 1.0
+
+
+def test_q6k_repack_matches_dequant():
+    """Expanded Q6_K codes·scales reconstruct host dequant values bitwise."""
+    from blama_tpu.ops.pallas.quant_matmul import repack_q6_k_expanded
+
+    rng = np.random.default_rng(5)
+    N, K = 512, 512
+    wf = rng.standard_normal((N, K)).astype(np.float32) * 0.05
+    packed = quants.quantize(wf, GGMLType.Q6_K)
+    w_exact = quants.dequantize(packed, GGMLType.Q6_K, (N, K))
+    qt = repack_q6_k_expanded(packed, N, K)
+    assert qt.group == 16
+    codes = np.asarray(qt.codes)[:, :N]
+    scales = np.asarray(qt.scales)[:, :N]
+    recon = codes.astype(np.float32) * np.repeat(scales, 16, axis=0)
+    np.testing.assert_array_equal(recon, w_exact.T)
+
+
+def test_q6k_kernel_matches_exact_dequant_matmul():
+    from blama_tpu.ops.pallas.quant_matmul import (
+        q8_0_matmul, repack_q6_k_expanded)
+
+    rng = np.random.default_rng(6)
+    N, K = 512, 512
+    wf = rng.standard_normal((N, K)).astype(np.float32) * 0.05
+    packed = quants.quantize(wf, GGMLType.Q6_K)
+    w_exact = quants.dequantize(packed, GGMLType.Q6_K, (N, K))
+    qt = repack_q6_k_expanded(packed, N, K)
+    x = rng.standard_normal((8, K)).astype(np.float32)
+    y = np.asarray(q8_0_matmul(jnp.asarray(x), qt))
+    np.testing.assert_allclose(y, x @ w_exact.T, rtol=1e-5, atol=1e-5)
+
+
+def test_q6k_fused_session_self_consistent(tmp_path):
+    """q6_k_fused engine on a Q6_K fixture (the reference's own default
+    model class, t-integration.cpp:23): deterministic generation, bit-exact
+    fillCtx self-replay, and first-step top logits within bf16-activation
+    tolerance of the f32 dequant engine. (Greedy CHAIN equality across
+    engines is not asserted: 6-bit quantization leaves a flat random tiny
+    model whose argmax flips under bf16 activation rounding — the op-level
+    tests above pin the kernel bitwise against host dequant instead.)"""
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.runtime.verify import LogitComparer, MetricsAggregator
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "t6.gguf")
+    write_tiny_llama(p, GGMLType.Q6_K)
+
+    def run(dtype):
+        m = Model(p, ModelParams(dtype=dtype))
+        inst = Instance(m, InstanceInitParams(ctx_size=64))
+        s = inst.start_session(SessionInitParams(seed=1, temperature=0.0))
+        toks = m.vocab.tokenize("hello world", True, True)
+        s.set_initial_prompt(toks)
+        preds = s.complete(CompleteParams(max_tokens=5))
+        inst.stop_session()
+        s2 = inst.start_session(SessionInitParams(seed=1, temperature=0.0))
+        s2.set_initial_prompt(toks)
+        replayed = s2.fill_ctx(preds)
+        agg = MetricsAggregator()
+        score = 0.0
+        for o, r in zip(preds, replayed):
+            score = agg.push_and_verify(LogitComparer.compare(o.logits, r.logits))
+        inst.stop_session()
+        m.close()
+        return preds, score
+
+    p6a, score6 = run("q6_k_fused")
+    p6b, _ = run("q6_k_fused")
+    assert [x.token for x in p6a] == [x.token for x in p6b]  # deterministic
+    assert score6 == 1.0                                      # replay exact
+    pf, _ = run("float32")
+    # first decode step: same top token, logit values close (bf16 activations)
+    assert p6a[0].logits[0].token == pf[0].logits[0].token
+    a = {t.token: t.logit for t in p6a[0].logits}
+    b = {t.token: t.logit for t in pf[0].logits}
+    common = set(a) & set(b)
+    assert len(common) >= 5
+    for t in common:
+        assert abs(a[t] - b[t]) < 0.1, (t, a[t], b[t])

@@ -201,3 +201,87 @@ def test_ring_prover_replays_on_solo_dense_verifier(tmp_path):
         sims.append(LogitComparer.logit_similarity(o.logits, r.logits))
     assert score >= 0.95, score
     assert float(np.mean(sims)) >= 0.98, sims
+
+
+def test_ring_prefill_production_engine_q4k_int8(tmp_path):
+    """Ring prefill composes with the PRODUCTION engine (VERDICT r3 missing
+    #7): packed q4k_fused weights (row-sharded qmm islands) + INT8 KV.
+    The ring-prefilled session generates the same greedy tokens as the same
+    engine's chunked prefill, and replays itself bit-exactly."""
+    from jax.sharding import Mesh
+
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "ringq.gguf")
+    write_tiny_llama(p, GGMLType.Q4_K)
+    prompt = ("the quick brown fox jumps over the lazy dog while the "
+              "miller grinds wheat by the old stone bridge at dawn")
+    sp_mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+    m = Model(p, ModelParams(dtype="q4k_fused"))
+
+    def run(mesh):
+        inst = Instance(m, InstanceInitParams(
+            ctx_size=128, fast_greedy=False, kv_dtype="int8",
+            ring_mesh=mesh, ring_min_prompt=16))
+        if mesh is not None:
+            assert inst.ring_enabled
+        s = inst.start_session(SessionInitParams(seed=7, temperature=0.0))
+        s.set_initial_prompt(m.vocab.tokenize(prompt, True, True))
+        preds = s.complete(CompleteParams(max_tokens=6))
+        inst.stop_session()
+        return preds
+
+    ring = run(sp_mesh)
+    chunked = run(None)
+    # ring is its own engine mode (online softmax): token agreement with the
+    # chunked engine, bit-exact within the mode
+    assert [x.token for x in ring] == [x.token for x in chunked]
+
+    inst2 = Instance(m, InstanceInitParams(
+        ctx_size=128, fast_greedy=False, kv_dtype="int8",
+        ring_mesh=sp_mesh, ring_min_prompt=16))
+    s2 = inst2.start_session(SessionInitParams(seed=7, temperature=0.0))
+    s2.set_initial_prompt(m.vocab.tokenize(prompt, True, True))
+    replayed = s2.fill_ctx(ring)
+    inst2.stop_session()
+    m.close()
+    for o, r in zip(ring, replayed):
+        assert [l.token for l in o.logits] == [l.token for l in r.logits]
+        np.testing.assert_array_equal(
+            np.asarray([l.logit for l in o.logits], np.float32),
+            np.asarray([l.logit for l in r.logits], np.float32))
+
+
+def test_ring_prefill_q8_0_engine(tmp_path):
+    """Q8_0 packed engine over the ring (row-sharded int8-code kernels)."""
+    from jax.sharding import Mesh
+
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "ring8.gguf")
+    write_tiny_llama(p, GGMLType.Q8_0)
+    prompt = ("one two three four five six seven eight nine ten eleven "
+              "twelve thirteen fourteen fifteen sixteen seventeen")
+    sp_mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+    m = Model(p, ModelParams(dtype="q8_0_fused"))
+
+    def run(mesh):
+        inst = Instance(m, InstanceInitParams(
+            ctx_size=128, fast_greedy=False,
+            ring_mesh=mesh, ring_min_prompt=16))
+        s = inst.start_session(SessionInitParams(seed=2, temperature=0.0))
+        s.set_initial_prompt(m.vocab.tokenize(prompt, True, True))
+        preds = s.complete(CompleteParams(max_tokens=5))
+        inst.stop_session()
+        return [x.token for x in preds]
+
+    assert run(sp_mesh) == run(None)
+    m.close()
