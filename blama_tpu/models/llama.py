@@ -27,7 +27,7 @@ from ..ops.norms import rms_norm
 from ..ops.pallas.quant_matmul import (
     LoraWrapped, QuantEmbedding, QuantTensor, QuantTensorA8, QuantTensorK4,
     QuantTensorQ8,
-    ShardedQuant, emb_lookup, qmm, qmm_blocked, qmm_nblocked, qmm_normed,
+    ShardedQuant, emb_lookup, qmm, qmm_blocked, qmm_nblocked,
 )
 from ..ops.rope import apply_rope, rope_angles
 from .config import ModelConfig
@@ -577,25 +577,11 @@ def forward(
         values per block) so logits are bit-identical to the sliced path."""
         B, T, E = x.shape
         tpb = getattr(cfg, "tp_blocks", 0)
-        # tpb == 0 (plain serving): the RMS norm fuses into the kernel
-        # prologue (qmm_normed) when the weight's dispatch supports it —
-        # the separate norm op's weight operand was scope-prefetched per
-        # layer per step with ~61 us stalls (device trace round 4). The
-        # pinned tp_blocks verification paths keep the XLA norm.
-        if tpb == 0 and "wqkv" in p:
-            qkv = qmm_normed(x, p["attn_norm"], p["wqkv"], eps,
-                             cfg.norm_plus_one)
-            q, k, v = jnp.split(qkv, [H * D, H * D + Hkv * D], axis=-1)
-        elif tpb == 0:
-            q = qmm_normed(x, p["attn_norm"], p["wq"], eps, cfg.norm_plus_one)
-            k = qmm_normed(x, p["attn_norm"], p["wk"], eps, cfg.norm_plus_one)
-            v = qmm_normed(x, p["attn_norm"], p["wv"], eps, cfg.norm_plus_one)
-        elif "wqkv" in p:
-            h = norm(x, p["attn_norm"])
+        h = norm(x, p["attn_norm"])
+        if "wqkv" in p:
             qkv = qmm_nblocked(h, p["wqkv"], tpb)
             q, k, v = jnp.split(qkv, [H * D, H * D + Hkv * D], axis=-1)
         else:
-            h = norm(x, p["attn_norm"])
             q = qmm_nblocked(h, p["wq"], tpb)
             k = qmm_nblocked(h, p["wk"], tpb)
             v = qmm_nblocked(h, p["wv"], tpb)
@@ -632,23 +618,12 @@ def forward(
                 q, k_all, v_all, positions[:, 0], new_positions, inv_freq_e,
                 k_scale=ks_all, v_scale=vs_all, mscale=rope_mscale, layer=li)
         x = x + qmm_blocked(attn.reshape(B, T, H * D), p["wo"], tpb)
-        if tpb == 0 and "wgu" in p:
-            gu = qmm_normed(x, p["ffn_norm"], p["wgu"], eps, cfg.norm_plus_one)
-            gate, up = jnp.split(gu, 2, axis=-1)
-            x = x + qmm_blocked(act(gate) * up, p["w_down"], tpb)
-        elif tpb == 0:
-            gate = act(qmm_normed(x, p["ffn_norm"], p["w_gate"], eps,
-                                  cfg.norm_plus_one))
-            up = qmm_normed(x, p["ffn_norm"], p["w_up"], eps,
-                            cfg.norm_plus_one)
-            x = x + qmm_blocked(gate * up, p["w_down"], tpb)
-        elif "wgu" in p:
-            h2 = norm(x, p["ffn_norm"])
+        h2 = norm(x, p["ffn_norm"])
+        if "wgu" in p:
             gu = qmm_nblocked(h2, p["wgu"], tpb)
             gate, up = jnp.split(gu, 2, axis=-1)
             x = x + qmm_blocked(act(gate) * up, p["w_down"], tpb)
         else:
-            h2 = norm(x, p["ffn_norm"])
             gate = act(qmm_nblocked(h2, p["w_gate"], tpb))
             x = x + qmm_blocked(gate * qmm_nblocked(h2, p["w_up"], tpb),
                                 p["w_down"], tpb)

@@ -1595,28 +1595,19 @@ def w4a8_swar_fold(x: jnp.ndarray, w: QuantTensor, block_n: int = 4096,
 # bit-identical to w4a8_swar_fold (asserted in tests/test_pallas_quant.py).
 
 
-def _a8s_xin_kernel(x_ref, *refs, normed=False, eps=0.0, slab=0):
+def _a8s_xin_kernel(x_ref, codes_ref, scales_ref, mins_ref, out_ref,
+                    pl_scr, ph_scr, xs_scr, sxm_scr):
     # grid (n, k): n outer so out blocks are revisited CONSECUTIVELY over k
     # (Mosaic's supported accumulation pattern — a k-outer grid mis-
     # accumulates, caught on hardware by tools/ab_xin.py); the n == 0 sweep
     # quantizes every K slab into full-K scratch, later n reuse it.
     #
-    # normed=True fuses the RMS norm into the prologue (round-2 lever,
-    # landed round 4): x_ref is then the FULL [1, K] RAW residual row and
-    # nw_ref the norm weight — the separate XLA norm op made the weight a
-    # loop operand that XLA scope-prefetches per layer per step, stalling
-    # ~61 us per stalled copy behind the weight DMA queue (~0.73 ms/step at
-    # 8B, device trace round 4). The normed activations are rounded through
-    # bf16 exactly like rms_norm's output cast, so kernel outputs equal
-    # norm-then-kernel up to the var reduction order (both engine paths —
-    # device loop and step — share this kernel, so replay stays bit-exact).
-    if normed:
-        nw_ref, codes_ref, scales_ref, mins_ref, out_ref, \
-            pl_scr, ph_scr, xs_scr, sxm_scr, h_scr = refs
-    else:
-        codes_ref, scales_ref, mins_ref, out_ref, \
-            pl_scr, ph_scr, xs_scr, sxm_scr = refs
-        slab = x_ref.shape[1]
+    # (An RMS-norm-in-prologue variant was tried and REVERTED in round 4:
+    # it compiled pathologically in Mosaic — minutes per shape even after
+    # moving the reduce to XLA — and bought only ~1% end-to-end; the norm
+    # weights' scoped-prefetch stalls are attacked by storing them f32
+    # instead, models/llama.py load path.)
+    slab = x_ref.shape[1]
     n, k = pl.program_id(0), pl.program_id(1)
     B = x_ref.shape[0]
     assert B == 1, "in-kernel prologue is the B==1 decode path"
@@ -1633,24 +1624,7 @@ def _a8s_xin_kernel(x_ref, *refs, normed=False, eps=0.0, slab=0):
         # the per-32-group stats use masked lane reductions on [R, 128]
         # tiles instead of a (*, GROUP) reshape — same max/sum/round values,
         # element for element, as _quant_acts.
-        if normed:
-            K = x_ref.shape[1]
-
-            @pl.when(k == 0)
-            def _():
-                # the RMS norm of the full raw row, computed once into VMEM
-                # scratch (Mosaic has no value-level dynamic_slice; refs do)
-                xfull = x_ref[:].astype(jnp.float32)         # [1, K] raw x
-                xK = xfull.reshape(K // 128, 128)
-                var = jnp.sum(xK * xK) / K
-                h = (xfull * (1.0 / jnp.sqrt(var + eps))
-                     ) * nw_ref[:].astype(jnp.float32)
-                # rms_norm's output cast (bf16 round-trip)
-                h_scr[:] = h.astype(jnp.bfloat16).astype(jnp.float32)
-
-            x2 = h_scr[:, pl.dslice(k * slab, slab)].reshape(R, 128)
-        else:
-            x2 = x_ref[:].astype(jnp.float32).reshape(R, 128)
+        x2 = x_ref[:].astype(jnp.float32).reshape(R, 128)
         lane_g = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1) // GROUP
         absx = jnp.abs(x2)
         m_cols = [jnp.max(jnp.where(lane_g == g, absx, 0.0), axis=1,
@@ -1709,20 +1683,17 @@ def _a8s_xin_kernel(x_ref, *refs, normed=False, eps=0.0, slab=0):
         out_ref[:] = out_ref[:] + acc
 
 
-@partial(jax.jit, static_argnums=(2, 3, 5))
+@partial(jax.jit, static_argnums=(2, 3))
 def w4a8_swar_xin(x: jnp.ndarray, w: QuantTensor, block_n: int = 4096,
-                  kb: int = 4, norm_w: jnp.ndarray | None = None,
-                  eps: float = 0.0) -> jnp.ndarray:
+                  kb: int = 4) -> jnp.ndarray:
     """SWAR kernel with IN-KERNEL activation quantization + min fold.
 
     Bit-identical outputs to w4a8_swar_fold; removes the whole XLA-side
     prologue. x [1, K] float (B == 1 decode steps; larger batches fall back
     to the XLA-prologue fold kernel, whose glue amortizes over the batch).
-    With norm_w, x is the RAW residual row and the RMS norm runs in the
-    kernel prologue (see _a8s_xin_kernel). Returns [B, N] f32."""
+    Returns [B, N] f32."""
     B, K = x.shape
     if B != 1 or K % KT != 0:
-        assert norm_w is None, "qmm_normed checked eligibility"
         return w4a8_swar_fold(x, w, block_n, kb)
     K2, N = w.codes.shape
     assert K == K2 * 2, (x.shape, w.codes.shape)
@@ -1736,20 +1707,12 @@ def w4a8_swar_xin(x: jnp.ndarray, w: QuantTensor, block_n: int = 4096,
     P = kb * 4
     ks = K // slab
     grid = (N // bn, ks)
-    normed = norm_w is not None
-    x_spec = (pl.BlockSpec((B, K), lambda n, k: (0, 0),
-                           memory_space=pltpu.VMEM) if normed else
-              pl.BlockSpec((B, slab), lambda n, k: (0, k),
-                           memory_space=pltpu.VMEM))
-    nw_specs = ([pl.BlockSpec((1, K), lambda n, k: (0, 0),
-                              memory_space=pltpu.VMEM)] if normed else [])
-    nw_args = [norm_w.reshape(1, K)] if normed else []
     return pl.pallas_call(
-        partial(_a8s_xin_kernel, normed=normed, eps=float(eps), slab=slab),
+        _a8s_xin_kernel,
         grid=grid,
         in_specs=[
-            x_spec,
-            *nw_specs,
+            pl.BlockSpec((B, slab), lambda n, k: (0, k),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((slab // 2, bn), lambda n, k: (k, n),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((slab // GROUP, bn), lambda n, k: (k, n),
@@ -1765,7 +1728,7 @@ def w4a8_swar_xin(x: jnp.ndarray, w: QuantTensor, block_n: int = 4096,
             pltpu.VMEM((P * B, K // 2), jnp.int8),
             pltpu.VMEM((K // GROUP, B), jnp.float32),
             pltpu.VMEM((K // GROUP, B), jnp.float32),
-        ] + ([pltpu.VMEM((1, K), jnp.float32)] if normed else []),
+        ],
         compiler_params=pltpu.CompilerParams(
             # scratch written at n == 0 feeds later steps: both dims must
             # stay in submission order
@@ -1778,54 +1741,7 @@ def w4a8_swar_xin(x: jnp.ndarray, w: QuantTensor, block_n: int = 4096,
             transcendentals=0,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(x, *nw_args, w.codes, w.scales, w.mins)
-
-
-def _normable(w) -> bool:
-    """Whether qmm_normed can fuse the RMS norm into w's kernel dispatch."""
-    if isinstance(w, ShardedQuant):
-        return w.axis == "n" and type(w.base) is QuantTensorA8S
-    return type(w) is QuantTensorA8S
-
-
-def qmm_normed(x: jnp.ndarray, norm_w: jnp.ndarray, w, eps: float,
-               plus_one: bool = False) -> jnp.ndarray:
-    """rms_norm(x, norm_w) @ w with the norm fused into the kernel prologue
-    when the dispatch supports it (B == 1 xin path, plain or n-sharded A8S
-    weights); otherwise the XLA norm + regular qmm. The fused path rounds
-    the normed activations through bf16 exactly like rms_norm's output
-    cast, so values match norm-then-kernel up to the var reduction order —
-    callers on the fused path stay on it for every step (the decode loop
-    and the per-token step share this dispatch), keeping replay bit-exact.
-    """
-    from ..norms import rms_norm
-
-    lead = x.shape[:-1]
-    flat = x.reshape(-1, x.shape[-1])
-    nw = norm_w + 1.0 if plus_one else norm_w
-    # bf16 residuals only: the kernel reproduces rms_norm's output cast by
-    # rounding through bf16, which is wrong for f32-activation engines
-    if (flat.shape[0] == 1 and flat.shape[1] % KT == 0
-            and x.dtype == jnp.bfloat16 and _normable(w)):
-        if isinstance(w, ShardedQuant):
-            from jax.sharding import PartitionSpec as P
-
-            leaves, treedef = jax.tree_util.tree_flatten(w.base)
-            tp = w.tp
-
-            def f(xl, nwl, *wl):
-                return w4a8_swar_xin(xl, treedef.unflatten(wl),
-                                     norm_w=nwl, eps=eps)
-
-            out = jax.shard_map(
-                f, mesh=w.mesh,
-                in_specs=(P(None, None), P(None), *[P(None, tp) for _ in leaves]),
-                out_specs=P(None, tp), check_vma=False,
-            )(flat, nw, *leaves)
-            return out[:, : w.n_out].reshape(*lead, -1).astype(x.dtype)
-        out = w4a8_swar_xin(flat, w, norm_w=nw, eps=eps)
-        return out[:, : w.n_out].reshape(*lead, -1).astype(x.dtype)
-    return qmm(rms_norm(x, nw, eps), w)
+    )(x, w.codes, w.scales, w.mins)
 
 
 # ---------------------------------------------------------------------------
