@@ -50,11 +50,19 @@ def _load_model(preset, wdtype):
     from blama_tpu.testing import (MOE_PRESETS, synthesize_llama_gguf,
                                    synthesize_moe_gguf)
 
-    path = os.path.join("/tmp", f"blama_bench_{preset}.gguf")
+    # q8_0 engines bench against a Q8_0-packed checkpoint (BASELINE config
+    # #3); other dtypes share the Q4_K-packed file per preset
+    q8 = wdtype == "q8_0_fused"
+    path = os.path.join(
+        "/tmp", f"blama_bench_{preset}{'_q8_0' if q8 else ''}.gguf")
     if not os.path.exists(path):
         t0 = time.time()
         if preset in MOE_PRESETS:
             synthesize_moe_gguf(path, preset)
+        elif q8:
+            from blama_tpu.gguf import GGMLType
+
+            synthesize_llama_gguf(path, preset, quant=GGMLType.Q8_0)
         else:
             synthesize_llama_gguf(path, preset)
         print(f"# synthesized {preset}: {time.time()-t0:.1f}s "
@@ -112,6 +120,10 @@ def _bench_config(model, n_steps, n_prompt, flash, kv_dtype, reps=3):
     toks, tid, tval, _ = greedy_generate(st, model.weights, prompt, fresh_cache(), n_prompt, n_steps)
     np.asarray(toks)
     compile_s = time.time() - t0
+    # reported in the result JSON: with the persistent compile cache warm
+    # (utils/compile_cache — populated by any prior run of the same code),
+    # a COLD PROCESS deserializes instead of recompiling, so this is the
+    # serving cold-boot compile cost (VERDICT r3 #4)
     print(f"# compile+first-run p={n_prompt} flash={int(flash)} kv={kv_dtype}: "
           f"{compile_s:.1f}s", file=sys.stderr)
 
@@ -154,6 +166,7 @@ def _bench_config(model, n_steps, n_prompt, flash, kv_dtype, reps=3):
         "ttft_p50_s": round(ttft_p50, 4),
         "best_wall_s": round(best, 4),
         "all_wall_s": [round(t, 4) for t in times],
+        "compile_s": round(compile_s, 1),  # warm cache => cold-boot cost
     }
 
 

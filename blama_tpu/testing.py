@@ -263,6 +263,21 @@ def _pack_q4_k_direct(rng: np.random.Generator, n_rows: int, row_len: int,
     return out.tobytes()
 
 
+def _pack_q8_0_direct(rng: np.random.Generator, n_rows: int, row_len: int,
+                      sigma: float) -> bytes:
+    """Directly synthesize packed Q8_0 blocks (34 B: f16 d + 32 int8 codes)
+    with plausible statistics — BASELINE config #3 benches Llama-3-8B Q8_0
+    and the load path depends on the real byte layout."""
+    n_blocks = (n_rows * row_len) // 32
+    out = np.zeros((n_blocks, 34), dtype=np.uint8)
+    # std of uniform int8 codes in [-127, 127] is ~73.3
+    d = np.float16(sigma / 73.3)
+    out[:, 0:2] = np.frombuffer(d.tobytes(), dtype=np.uint8)
+    codes = rng.integers(-127, 128, size=(n_blocks, 32), dtype=np.int64)
+    out[:, 2:] = codes.astype(np.int8).view(np.uint8)
+    return out.tobytes()
+
+
 def _pack_f32_norm(n: int) -> tuple[bytes, tuple[int, ...]]:
     return np.ones(n, np.float32).tobytes(), (n,)
 
@@ -275,8 +290,8 @@ def synthesize_llama_gguf(path: str, preset: str = "tinyllama-1.1b",
     them) but every byte layout, metadata key, and tensor name is real, so the
     full load path (parse → dequant/repack → upload) is exercised.
     """
-    if quant != GGMLType.Q4_K:
-        raise NotImplementedError("direct synthesis currently packs Q4_K only")
+    if quant not in (GGMLType.Q4_K, GGMLType.Q8_0):
+        raise NotImplementedError("direct synthesis packs Q4_K or Q8_0")
     s = dict(MODEL_PRESETS[preset])
     E, H, HKV, F, L, V = (s["n_embd"], s["n_head"], s["n_head_kv"],
                           s["n_ff"], s["n_layer"], s["n_vocab"])
@@ -319,8 +334,10 @@ def synthesize_llama_gguf(path: str, preset: str = "tinyllama-1.1b",
 
     def q(name, n_out, n_in, sigma=None):
         sigma = sigma if sigma is not None else 1.0 / np.sqrt(n_in)
-        g.add_tensor(name, None, GGMLType.Q4_K,
-                     raw_bytes=_pack_q4_k_direct(rng, n_out, n_in, sigma),
+        pack = (_pack_q8_0_direct if quant == GGMLType.Q8_0
+                else _pack_q4_k_direct)
+        g.add_tensor(name, None, quant,
+                     raw_bytes=pack(rng, n_out, n_in, sigma),
                      ne=(n_in, n_out))
 
     def norm(name, n):
