@@ -183,6 +183,13 @@ NAMED_CASES = [
         "<|im_start|>assistant<|im_sep|>   I am an assistant   <|im_end|>"
         "<|im_start|>user<|im_sep|>Another question<|im_end|><|im_start|>assistant<|im_sep|>",
     ),
+    (
+        # reference t-ChatFormat.cpp:165-171 (glmedge family)
+        "glmedge",
+        "<|system|>\nYou are a helpful assistant<|user|>\nHello<|assistant|>\nHi there"
+        "<|user|>\nWho are you<|assistant|>\n   I am an assistant   "
+        "<|user|>\nAnother question<|assistant|>",
+    ),
 ]
 
 

