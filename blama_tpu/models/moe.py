@@ -462,10 +462,19 @@ def forward(params, st: MoEStatic, tokens, positions, slots, cache: KVCache, log
         )
 
     tpb = st.tp_blocks
+    from ..ops.kv_cache import dequantize_kv, quantize_kv
     from ..ops.pallas.quant_matmul import qmm_blocked, qmm_nblocked
 
+    quant_kv = cache.k_scale is not None
+
     def layer_fn(x, scanned):
-        p, k_l, v_l = scanned
+        # INT8 KV quantizes on write / dequantizes on read like
+        # models/llama.py (round 4: the MoE forward previously scattered
+        # bf16 values straight into an int8 cache — a silent value cast)
+        if quant_kv:
+            p, k_l, v_l, ks_l, vs_l = scanned
+        else:
+            (p, k_l, v_l), ks_l, vs_l = scanned, None, None
         B, T, E = x.shape
         h = rms_norm(x, p["attn_norm"], eps)
         # tp_blocks pins leaf shapes so head-sharded attention projections
@@ -474,40 +483,74 @@ def forward(params, st: MoEStatic, tokens, positions, slots, cache: KVCache, log
         k = qmm_nblocked(h, p["wk"], tpb).reshape(B, T, Hkv, D)
         v = qmm_nblocked(h, p["wv"], tpb).reshape(B, T, Hkv, D)
         q = apply_rope(q, positions, st.rope_dim, st.freq_base, True)
+        if quant_kv:
+            k_w, k_sc = quantize_kv(k)
+            v_w, v_sc = quantize_kv(v)
+        else:
+            k_w, k_sc, v_w, v_sc = k, None, v, None
         if paged:
             flat = slots.reshape(-1)
             k_l = k_l.reshape((-1,) + k_l.shape[2:]).at[flat].set(
-                k.reshape((-1, Hkv, D)), mode="drop").reshape(k_l.shape)
+                k_w.reshape((-1, Hkv, D)), mode="drop").reshape(k_l.shape)
             v_l = v_l.reshape((-1,) + v_l.shape[2:]).at[flat].set(
-                v.reshape((-1, Hkv, D)), mode="drop").reshape(v_l.shape)
-            k_use, v_use, _, _ = pkv.gather_view(cache, k_l, v_l)
+                v_w.reshape((-1, Hkv, D)), mode="drop").reshape(v_l.shape)
+            if quant_kv:
+                ks_l = ks_l.reshape((-1, Hkv)).at[flat].set(
+                    k_sc.reshape((-1, Hkv)), mode="drop").reshape(ks_l.shape)
+                vs_l = vs_l.reshape((-1, Hkv)).at[flat].set(
+                    v_sc.reshape((-1, Hkv)), mode="drop").reshape(vs_l.shape)
+            k_use, v_use, ksv, vsv = pkv.gather_view(cache, k_l, v_l,
+                                                     ks_l, vs_l)
+            if ksv is not None:
+                k_use = dequantize_kv(k_use, ksv, x.dtype)
+                v_use = dequantize_kv(v_use, vsv, x.dtype)
             attn = attention(q, k_use, v_use, positions, pos_view,
                              rope_dim=st.rope_dim, freq_base=st.freq_base)
         else:
             write = jax.vmap(lambda c, s, n: c.at[s].set(n, mode="drop"))
-            k_l = write(k_l, slots, k)
-            v_l = write(v_l, slots, v)
-            attn = attention(q, k_l, v_l, positions, new_positions,
+            k_l = write(k_l, slots, k_w)
+            v_l = write(v_l, slots, v_w)
+            if quant_kv:
+                ks_l = write(ks_l, slots, k_sc)
+                vs_l = write(vs_l, slots, v_sc)
+                k_use = dequantize_kv(k_l, ks_l, x.dtype)
+                v_use = dequantize_kv(v_l, vs_l, x.dtype)
+            else:
+                k_use, v_use = k_l, v_l
+            attn = attention(q, k_use, v_use, positions, new_positions,
                              rope_dim=st.rope_dim, freq_base=st.freq_base)
         x = x + qmm_blocked(attn.reshape(B, T, H * D), p["wo"], tpb)
 
         h2 = rms_norm(x, p["ffn_norm"], eps)
         x = x + moe_ffn(h2, p, st)
-        return x, (k_l, v_l)
+        return x, (k_l, v_l, ks_l, vs_l)
 
+    ks_new, vs_new = cache.k_scale, cache.v_scale
     if isinstance(params["layers"], (list, tuple)):
         # unrolled layer loop (quantized modes): per-layer packed weights stay
         # separate arrays so the Pallas kernels read codes in place — no
         # scan-slice copies (see load_llama_params)
         k_all, v_all = cache.k, cache.v
+        ks_all, vs_all = ks_new, vs_new
         for li_, p_ in enumerate(params["layers"]):
-            x, (k_l, v_l) = layer_fn(x, (p_, k_all[li_], v_all[li_]))
+            sc = ((p_, k_all[li_], v_all[li_], ks_all[li_], vs_all[li_])
+                  if quant_kv else (p_, k_all[li_], v_all[li_]))
+            x, (k_l, v_l, ks_l, vs_l) = layer_fn(x, sc)
             k_all = k_all.at[li_].set(k_l)
             v_all = v_all.at[li_].set(v_l)
+            if quant_kv:
+                ks_all = ks_all.at[li_].set(ks_l)
+                vs_all = vs_all.at[li_].set(vs_l)
         k_new, v_new = k_all, v_all
+        ks_new, vs_new = ks_all, vs_all
     else:
-        x, (k_new, v_new) = jax.lax.scan(
-            layer_fn, x, (params["layers"], cache.k, cache.v))
+        if quant_kv:
+            x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+                layer_fn, x, (params["layers"], cache.k, cache.v,
+                              cache.k_scale, cache.v_scale))
+        else:
+            x, (k_new, v_new, _, _) = jax.lax.scan(
+                layer_fn, x, (params["layers"], cache.k, cache.v))
 
     last_h = jax.vmap(lambda xb, i: xb[i])(x, logits_index)
     last_h = rms_norm(last_h, params["out_norm"], eps)
@@ -526,9 +569,9 @@ def forward(params, st: MoEStatic, tokens, positions, slots, cache: KVCache, log
     logits = logits[:, : params["tok_emb"].shape[0]]
     if paged:
         new_cache = pkv.PagedKVCache(k_new, v_new, new_positions,
-                                     cache.page_table)
+                                     cache.page_table, ks_new, vs_new)
     else:
-        new_cache = KVCache(k_new, v_new, new_positions)
+        new_cache = KVCache(k_new, v_new, new_positions, ks_new, vs_new)
     return logits, new_cache
 
 

@@ -327,3 +327,42 @@ def test_bank_matmul_indirection_matches_gather(quant_gguf, a8):
             np.testing.assert_allclose(out[j], ref, rtol=2e-4, atol=2e-4)
     finally:
         r.close()
+
+
+def test_moe_int8_kv_matches_float(tmp_path):
+    """MoE INT8 KV (round 4): quantize-on-write / dequant-on-read like the
+    llama forward — previously bf16 values were silently VALUE-CAST into an
+    int8 cache, corrupting attention. Greedy tokens must track the float-KV
+    engine, and replay must be bit-exact within the int8 engine."""
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.testing import write_tiny_moe
+
+    p = str(tmp_path / "m8.gguf")
+    write_tiny_moe(p)
+    m = Model(p)
+
+    def run(kv):
+        inst = Instance(m, InstanceInitParams(ctx_size=64, kv_dtype=kv,
+                                              fast_greedy=False))
+        s = inst.start_session(SessionInitParams(seed=3, temperature=0.0))
+        s.set_initial_prompt(m.vocab.tokenize("hello world", True, True))
+        preds = s.complete(CompleteParams(max_tokens=6))
+        inst.stop_session()
+        return preds
+
+    f32 = run("float32")
+    i8 = run("int8")
+    # int8 KV is its own numerics; token agreement on the tiny fixture
+    assert [x.token for x in i8] == [x.token for x in f32]
+
+    inst = Instance(m, InstanceInitParams(ctx_size=64, kv_dtype="int8",
+                                          fast_greedy=False))
+    s2 = inst.start_session(SessionInitParams(seed=3, temperature=0.0))
+    s2.set_initial_prompt(m.vocab.tokenize("hello world", True, True))
+    rep = s2.fill_ctx(i8)
+    inst.stop_session()
+    m.close()
+    for o, r in zip(i8, rep):
+        assert [l.logit for l in o.logits] == [l.logit for l in r.logits]
