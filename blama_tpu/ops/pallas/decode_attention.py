@@ -40,11 +40,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-# probe flag, read ONCE at import: it participates in traced code, so a
+# probe flags, read ONCE at import: they participate in traced code, so a
 # mid-process env toggle would otherwise silently keep the cached compile
-# (ADVICE r3). Probes that need the head-batched kernel set this attribute
-# (or the env var) before the first call.
+# (ADVICE r3). Probes set these (or the env vars) before the first call.
 _HB = os.environ.get("BLAMA_ATTN_HB", "0") == "1"
+# int8 DECODE sequence-block cap (A/B probe: 2048 = whole-window blocks)
+_BLOCK_CAP = int(os.environ.get("BLAMA_ATTN_BLOCK_CAP", "1024"))
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -300,7 +301,7 @@ def _pick_block_s(S: int, itemsize: int, batch: int = 1,
     # round 3), so fewer, larger DMAs win. bf16 — and the prefill kernel,
     # whose q/acc/score buffers already crowd VMEM (cap=512 there) — keep
     # 512 so double-buffered K+V blocks stay well under the scoped limit.
-    cands = (1024, 512, 256, 128, 64, 32, 16, 8) if itemsize == 1 else (
+    cands = (2048, 1024, 512, 256, 128, 64, 32, 16, 8) if itemsize == 1 else (
         512, 256, 128, 64, 32, 16, 8)
     for bs in cands:
         if bs <= cap and S % bs == 0 and (bs % 128 == 0 or bs == batch * S):
@@ -352,7 +353,7 @@ def _call(q, k2, v2, kv_pos, q_pos, inv_freq_e, k_scale, v_scale,
     hb = D % 128 == 0 and _HB
     group = H // Hkv
     # head-batched f32 intermediates are [block_s*Hkv, D]; cap rows at 4K
-    cap = max(128, 4096 // Hkv) if hb else 1024
+    cap = max(128, 4096 // Hkv) if hb else _BLOCK_CAP
     block_s = _pick_block_s(S, jnp.dtype(k2.dtype).itemsize, B, cap=cap)
     if hb and block_s is None:
         # the tighter hb cap can reject a geometry supports() approved
