@@ -261,6 +261,13 @@ def load_llama_params(
             for k in ("attn_norm", "ffn_norm"):
                 p[k] = p[k].astype(jnp.float32)
         out["out_norm"] = out["out_norm"].astype(jnp.float32)
+        # ... and ALSO stacked into ONE [2L, E] parameter: the fused-attn
+        # decode loop reads norms as static slices of a single loop input
+        # instead of 64 tiny parameters, each of which XLA scope-prefetched
+        # with ~61 us stalls behind the weight DMA queue (same bits — the
+        # per-dict copies remain for the prefill/step paths)
+        out["norm_stack"] = jnp.stack(
+            [p[k] for p in out["layers"] for k in ("attn_norm", "ffn_norm")])
     return out
 
 
@@ -567,7 +574,8 @@ def forward(
             x = x + p["cvec"]
         return x, (k_l, v_l, ks_l, vs_l)
 
-    def layer_fn_stacked(x, p, li, k_all, v_all, ks_all, vs_all, barange):
+    def layer_fn_stacked(x, p, li, k_all, v_all, ks_all, vs_all, barange,
+                         norm_stack=None):
         """T==1 fused-attention decode body on the STACKED cache (dense
         rows): token writes are direct scatters into [L, B, S, ...] and the
         attention kernel reads its layer in place — the per-layer slice +
@@ -577,7 +585,9 @@ def forward(
         values per block) so logits are bit-identical to the sliced path."""
         B, T, E = x.shape
         tpb = getattr(cfg, "tp_blocks", 0)
-        h = norm(x, p["attn_norm"])
+        attn_nw = (norm_stack[2 * li] if norm_stack is not None
+                   else p["attn_norm"])
+        h = norm(x, attn_nw)
         if "wqkv" in p:
             qkv = qmm_nblocked(h, p["wqkv"], tpb)
             q, k, v = jnp.split(qkv, [H * D, H * D + Hkv * D], axis=-1)
@@ -618,7 +628,9 @@ def forward(
                 q, k_all, v_all, positions[:, 0], new_positions, inv_freq_e,
                 k_scale=ks_all, v_scale=vs_all, mscale=rope_mscale, layer=li)
         x = x + qmm_blocked(attn.reshape(B, T, H * D), p["wo"], tpb)
-        h2 = norm(x, p["ffn_norm"])
+        ffn_nw = (norm_stack[2 * li + 1] if norm_stack is not None
+                  else p["ffn_norm"])
+        h2 = norm(x, ffn_nw)
         if "wgu" in p:
             gu = qmm_nblocked(h2, p["wgu"], tpb)
             gate, up = jnp.split(gu, 2, axis=-1)
@@ -656,9 +668,11 @@ def forward(
                 k_all = k_all.reshape(L_, -1, Scache, Hkv * D)
                 v_all = v_all.reshape(L_, -1, Scache, Hkv * D)
             barange = jnp.arange(tokens.shape[0], dtype=jnp.int32)[:, None]
+            _ns = params.get("norm_stack")
             for li_, p_ in enumerate(params["layers"]):
                 x, k_all, v_all, ks_all, vs_all = layer_fn_stacked(
-                    x, p_, li_, k_all, v_all, ks_all, vs_all, barange)
+                    x, p_, li_, k_all, v_all, ks_all, vs_all, barange,
+                    norm_stack=_ns)
             if not premerged:
                 k_all = k_all.reshape(L_, -1, Scache, Hkv, D)
                 v_all = v_all.reshape(L_, -1, Scache, Hkv, D)
