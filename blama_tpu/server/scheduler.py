@@ -45,6 +45,14 @@ class GenRequest:
     # set via Scheduler.cancel() (client disconnect); the request finishes
     # early with whatever was generated, its row/pages are freed
     _cancel: threading.Event = field(default_factory=threading.Event)
+    # paged preemption parking (scheduler-internal): when the pool runs dry
+    # mid-decode and the request still FITS the pool solo, its row is
+    # released and the request requeues with (resume_tokens, sampler,
+    # generated) — it re-prefills prompt+generated when readmitted and
+    # continues to completion instead of truncating (round 4; the old
+    # finish-early policy remains for requests that can no longer fit and
+    # is surfaced as finish_reason="evicted")
+    _resume: tuple | None = None
 
 
 @dataclass
@@ -86,9 +94,13 @@ class ContinuousBatchingScheduler:
     admission is bound by free pages instead of reserving a full
     ctx_size-slot row per request. `n_pages` sizes the pool (default: the
     same HBM as the dense layout, i.e. max_batch rows' worth — shrink it to
-    oversubscribe). When the pool runs dry mid-decode the starved row
-    finishes early with what it has (documented policy; the reference's
-    analog is the hard "context limit reached" throw, Session.cpp:331-333).
+    oversubscribe). When the pool runs dry mid-decode the starved row is
+    PREEMPTED: its pages are released and the request requeues, re-prefills
+    its prompt + generated prefix when pages free up, and runs to
+    completion (continuation numerics are re-prefill numerics). Only a
+    request that no longer fits the pool even solo finishes early, with
+    finish_reason="evicted" (the reference's analog is the hard "context
+    limit reached" throw, Session.cpp:331-333).
     """
 
     def __init__(self, model, max_batch: int = 8, ctx_size: int = 0,
@@ -251,16 +263,27 @@ class ContinuousBatchingScheduler:
             slot.pending_token = -1
             slot.last_logits = None
             slot.verify_idx = 0
+            accept = True
             if isinstance(req, VerifyRequest):
                 from ..runtime.verify import MetricsAggregator
 
                 slot.verify = req
                 slot.sampler = None
                 slot.aggregator = MetricsAggregator()
+                tokens = list(req.prompt or [self.model.vocab.bos()])
+            elif req._resume is not None:
+                # preempted request returns: re-prefill prompt + generated
+                # with its ORIGINAL sampler state (tokens already accepted)
+                tokens, sampler, generated = req._resume
+                req._resume = None
+                slot.request = req
+                slot.sampler = sampler
+                slot.generated = generated
+                accept = False
             else:
                 slot.request = req
                 slot.sampler = Sampler(self.model.vocab, req.sampler_params)
-            tokens = list(req.prompt or [self.model.vocab.bos()])
+                tokens = list(req.prompt or [self.model.vocab.bos()])
             flat = None
             if self.paged:
                 # allocate at admission time so the next _next_request's
@@ -268,11 +291,11 @@ class ContinuousBatchingScheduler:
                 # invariant the per-request prefill preserved implicitly)
                 flat = self._alloc.allocate_slots(b, len(tokens))
                 assert flat is not None, "admission guaranteed the prompt's pages"
-            jobs.append((b, tokens, flat))
+            jobs.append((b, tokens, flat, accept))
         if jobs:
             self._prefill_rows(jobs)
 
-    def _prefill_rows(self, jobs: list[tuple[int, list[int], np.ndarray | None]]) -> None:
+    def _prefill_rows(self, jobs: list[tuple[int, list[int], np.ndarray | None, bool]]) -> None:
         """Prefill newly admitted rows TOGETHER in chunked [B, T] dispatches.
 
         Every row advances through the same passes (concurrent admissions
@@ -285,7 +308,8 @@ class ContinuousBatchingScheduler:
             if self.paged:
                 self.cache = self.cache.with_table(self._alloc.tables)
             chunk = 256
-            todo = {b: (tokens, flat) for b, tokens, flat in jobs}
+            todo = {b: (tokens, flat) for b, tokens, flat, _ in jobs}
+            accept = {b: a for b, _, _, a in jobs}
             off = {b: 0 for b in todo}
             while todo:
                 allparts = {b: todo[b][0][off[b]: off[b] + chunk] for b in todo}
@@ -320,7 +344,7 @@ class ContinuousBatchingScheduler:
                     slot = self._slots[b]
                     slot.num_past += len(part)
                     off[b] += len(part)
-                    if slot.sampler is not None:
+                    if slot.sampler is not None and accept[b]:
                         for t in part:
                             slot.sampler.accept(t, False)
                     if off[b] >= len(todo[b][0]):
@@ -334,7 +358,7 @@ class ContinuousBatchingScheduler:
                         slot.last_logits = np.asarray(logits[b]).astype(np.float32)
                         self._stale_host.discard(b)
                         del todo[b]
-        self.metrics.tokens_prefilled += sum(len(t) for _, t, _ in jobs)
+        self.metrics.tokens_prefilled += sum(len(t) for _, t, _, _ in jobs)
 
     @staticmethod
     def _device_greedy(sp: SamplerParams) -> bool:
@@ -405,12 +429,15 @@ class ContinuousBatchingScheduler:
                     if self.paged:
                         flat = self._alloc.allocate_slots(b, 1)
                         if flat is None:
-                            # pool dry: the starved row finishes early with
-                            # what it generated (class docstring policy) —
-                            # surfaced to the client as finish_reason
+                            # pool dry (class docstring policy): preempt the
+                            # gen row (requeue + re-prefill later) or finish
+                            # it early as "evicted" when it can't fit solo;
+                            # verify rows always finish with their partial
+                            # score
                             if slot.request is not None:
-                                slot.request.finish_reason = "evicted"
-                            slot.pending_token = -1
+                                slot.pending_token = -2  # preempt below
+                            else:
+                                slot.pending_token = -1
                             continue
                         sl[b, 0] = flat[0]
                     else:
@@ -430,6 +457,9 @@ class ContinuousBatchingScheduler:
 
         for b in active:
             slot = self._slots[b]
+            if slot.pending_token == -2:
+                self._preempt_or_evict(b)
+                continue
             if slot.pending_token < 0:
                 self._finish(b)
                 continue
@@ -484,16 +514,17 @@ class ContinuousBatchingScheduler:
             if self.paged and n > 0:
                 fit = self._alloc.max_extend(b, n)
                 if fit <= 0:
-                    # pool dry before this row could take a single step:
-                    # finish early with what it has (class docstring policy)
-                    if slot.request is not None:
-                        slot.request.finish_reason = "evicted"
+                    # pool dry before this row could take a single step
+                    # (class docstring policy: preempt or evict)
                     starved.append(b)
                     continue
                 n = fit
             plan[b] = n
         for b in starved:
-            self._finish(b)
+            if self._slots[b].request is not None:
+                self._preempt_or_evict(b)
+            else:
+                self._finish(b)
         active = [b for b in active if b not in starved]
         if not active:
             return
@@ -602,20 +633,41 @@ class ContinuousBatchingScheduler:
         if slot.verify_idx >= len(slot.verify.predictions):
             self._finish(row)
 
+    def _preempt_or_evict(self, b: int) -> None:
+        """Pool-dry policy for a generation row: requeue (preempt) when the
+        request still fits the pool solo, else finish early as "evicted"."""
+        slot = self._slots[b]
+        req = slot.request
+        resume_tokens = list(req.prompt or [self.model.vocab.bos()]) + [
+            p.token for p in slot.generated]
+        if req._cancel.is_set():
+            req.finish_reason = "cancelled"
+            self._finish(b)
+            return
+        if (self._alloc.pages_for(len(resume_tokens) + 1) + 1
+                > self._alloc.n_pages):
+            req.finish_reason = "evicted"
+            self._finish(b)
+            return
+        req._resume = (resume_tokens, slot.sampler, slot.generated)
+        # release the row WITHOUT firing callbacks, then requeue (FIFO back:
+        # waiting admissions go first — their pages were the contention)
+        slot.request = None
+        slot.sampler = None
+        slot.generated = []
+        slot.last_logits = None
+        self._release_row(b)
+        self._queue.put(req)
+
     @staticmethod
     def _top10(lg: np.ndarray) -> list[TokenData]:
         idx = np.argpartition(-lg, 10)[:10]
         idx = idx[np.lexsort((idx, -lg[idx]))]
         return [TokenData(int(i), float(lg[i])) for i in idx]
 
-    def _finish(self, row: int) -> None:
-        slot = self._slots[row]
-        req = slot.request
-        ver = slot.verify
-        agg = slot.aggregator
-        generated = slot.generated
-        # free the row: clear its cache positions (paged: release the pages
-        # and blank their pool positions so the next owner starts masked-out)
+    def _release_row(self, row: int) -> None:
+        """Free a row's cache state (paged: release the pages and blank
+        their pool positions so the next owner starts masked-out)."""
         if self.paged:
             import dataclasses
 
@@ -632,6 +684,14 @@ class ContinuousBatchingScheduler:
                 self.cache.positions.at[row].set(-1),
                 self.cache.k_scale, self.cache.v_scale,
             )
+
+    def _finish(self, row: int) -> None:
+        slot = self._slots[row]
+        req = slot.request
+        ver = slot.verify
+        agg = slot.aggregator
+        generated = slot.generated
+        self._release_row(row)
         slot.request = None
         slot.verify = None
         slot.sampler = None

@@ -361,3 +361,58 @@ def test_scheduler_server_finish_reason_in_response(model):
         assert getattr(box["r"], "finish_reason", None) in ("stop", "length")
     finally:
         srv.close()
+
+
+def test_paged_preempt_and_resume_completes(model):
+    """Pool contention no longer truncates: a starved row is PREEMPTED
+    (pages released, request requeued) and completes by re-prefilling its
+    prompt + generated prefix once pages free up (round 4). Every request
+    gets its full token budget; only a request that cannot fit the pool
+    even solo is evicted."""
+    # pool of 3 pages (384 slots), window 256: two growing requests cannot
+    # both stay resident, but each fits solo
+    sched = ContinuousBatchingScheduler(model, max_batch=2, ctx_size=256,
+                                        paged=True, n_pages=3)
+    outs = {}
+    reqs = []
+    for i, pr in enumerate(["hello world", "the quick brown fox"]):
+        toks = model.vocab.tokenize(pr, True, True)
+        r = GenRequest(prompt=toks, max_tokens=180,
+                       sampler_params=SamplerParams(temp=0.0),
+                       on_done=lambda g, i=i: outs.__setitem__(i, g))
+        reqs.append(r)
+        sched.submit(r)
+    sched.run_until_idle()
+    assert set(outs) == {0, 1}
+    for i, r in enumerate(reqs):
+        # both complete their FULL budget (or stop at the ctx window)
+        assert r.finish_reason in ("stop", "length"), r.finish_reason
+        assert len(outs[i]) == 180 or r.finish_reason == "stop"
+    # pool fully recycled
+    assert sched._alloc.free_pages == 3
+
+
+def test_paged_preempt_resume_matches_uncontended(model):
+    """A preempted-and-resumed greedy request produces the same tokens as
+    the same request on an uncontended pool (re-prefill numerics: greedy
+    argmaxes on this fixture are stable across the chunked re-prefill)."""
+    toks = model.vocab.tokenize("the cat sat", True, True)
+
+    def run(n_pages, with_noise):
+        sched = ContinuousBatchingScheduler(model, max_batch=2, ctx_size=256,
+                                            paged=True, n_pages=n_pages)
+        outs = {}
+        if with_noise:
+            sched.submit(GenRequest(
+                prompt=model.vocab.tokenize("hello world", True, True),
+                max_tokens=150, sampler_params=SamplerParams(temp=0.0),
+                on_done=lambda g: outs.__setitem__("n", g)))
+        sched.submit(GenRequest(prompt=toks, max_tokens=120,
+                                sampler_params=SamplerParams(temp=0.0),
+                                on_done=lambda g: outs.__setitem__("t", g)))
+        sched.run_until_idle()
+        return [x.token for x in outs["t"]]
+
+    contended = run(3, True)     # forces at least one preemption
+    solo = run(8, False)
+    assert contended == solo
