@@ -86,6 +86,9 @@ GGML_BLOCK_INFO: dict[GGMLType, tuple[int, int]] = {
     GGMLType.Q4_K: (256, 144),  # fp16 d + fp16 dmin + 12B scales + 128B nibbles
     GGMLType.Q5_K: (256, 176),  # ... + 32B high bits
     GGMLType.Q6_K: (256, 210),  # 128B ql + 64B qh + 16 int8 scales + fp16 d
+    GGMLType.Q8_K: (256, 292),  # f32 d + 256 int8 + 16 int16 bsums
+    GGMLType.IQ4_NL: (32, 18),  # fp16 d + 16B nibble indices into kvalues LUT
+    GGMLType.IQ4_XS: (256, 136),  # fp16 d + u16 scales_h + 4B scales_l + 128B nibbles
 }
 
 QK_K = 256  # K-quant superblock size

@@ -43,10 +43,36 @@ def _fused_merge(st, params, cache):
             and not isinstance(cache, pkv.PagedKVCache)
             and cache.k.ndim == 5):
         L, B, S, Hkv, D = cache.k.shape
+        # merge ONLY when forward's own T==1 decode gate will take the
+        # fused kernel at this geometry — otherwise the unrolled fallback
+        # loop indexes the cache as [B, S, Hkv, D] and a pre-merged 4-D
+        # carry is a trace-time shape error (ADVICE r4 medium).
+        if not _decode_fused_ok(st, S, D, cache.k.dtype, B):
+            return cache, None
         return dataclasses.replace(
             cache, k=cache.k.reshape(L, B, S, Hkv * D),
             v=cache.v.reshape(L, B, S, Hkv * D)), (Hkv, D)
     return cache, None
+
+
+def _decode_fused_ok(st, S: int, D: int, kv_dtype, B: int) -> bool:
+    """Mirror of models/llama.forward's `use_fused_attn` gate for a dense
+    cache at T==1 (llama.py:394-429) — the single predicate that decides
+    whether the scan body will run the merged-cache fused path."""
+    from .pallas import decode_attention as dattn
+
+    yarn = getattr(st, "yarn", None)
+    if not st.causal or (yarn is not None and st.rope_dim < st.head_dim):
+        return False
+    mesh = getattr(st, "mesh", None)
+    if mesh is not None:
+        tp, dp = mesh.shape["tp"], mesh.shape["dp"]
+        if st.n_head_kv % tp or st.n_head % tp or B % dp:
+            return False
+        b_local = B // dp
+    else:
+        b_local = B
+    return dattn.supports(S, D, kv_dtype, b_local)
 
 
 def _fused_unmerge(cache, hd):

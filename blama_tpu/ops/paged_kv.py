@@ -236,11 +236,13 @@ class PageAllocator:
         phys = self.tables[row, logical // self.G] * self.G + logical % self.G
         return phys.astype(np.int32)
 
-    def max_extend(self, row: int, n: int) -> int:
+    def max_extend(self, row: int, n: int, free_budget: int | None = None) -> int:
         """Largest m <= n for which allocate_slots(row, m) would succeed
         (logical-window + free-pool bound). Allocates nothing — the
         scheduler's horizon loop uses it to clamp a multi-step plan before
-        committing pages."""
+        committing pages. `free_budget` caps the free pages this row may
+        claim (the scheduler threads a shrinking budget through a multi-row
+        plan so rows do not all count the same last free pages)."""
         start = int(self._row_len[row])
         n = min(n, self.MP * self.G - start)
         if n <= 0:
@@ -249,7 +251,10 @@ class PageAllocator:
         while lp < self.MP and self.tables[row, lp] >= 0:
             lp += 1
         covered = max(0, lp * self.G - start)  # slots on already-mapped pages
-        return min(n, covered + len(self._free) * self.G)
+        free = len(self._free)
+        if free_budget is not None:
+            free = min(free, max(0, free_budget))
+        return min(n, covered + free * self.G)
 
     def free_row(self, row: int) -> list[int]:
         """Release a finished row's pages back to the pool (sorted re-insert

@@ -221,7 +221,12 @@ class ContinuousBatchingScheduler:
                 return None
         if self.paged:
             req = self._head
-            n_prompt = max(1, len(req.prompt or []))
+            # a resumed (preempted) request re-prefills prompt+generated, so
+            # admission must gate on the RESUME length, not the original
+            # prompt (else allocate_slots can fail after can_admit passed)
+            res = getattr(req, "_resume", None)
+            n_prompt = max(1, len(res[0]) if res is not None
+                           else len(req.prompt or []))
             if self._alloc.pages_for(n_prompt) + 1 > self._alloc.n_pages:
                 self._head = None
                 from ..utils.logging import scope_logger
@@ -499,9 +504,14 @@ class ContinuousBatchingScheduler:
 
         # plan step counts first; under paged KV clamp by what the pool can
         # actually back and pre-allocate the horizon's slots (the device
-        # loop derives flat slots from the page table per step)
+        # loop derives flat slots from the page table per step). Rows in
+        # the same plan contend for the same free pages, so allocation is
+        # committed row-by-row HERE and the remaining budget threads through
+        # the loop — max_extend against the global free count alone would
+        # let two rows at page boundaries both claim the last free page.
         plan: dict[int, int] = {}  # row -> planned step count
         starved: list[int] = []
+        budget = self._alloc.free_pages if self.paged else 0
         for b in active:
             slot = self._slots[b]
             cap = self.S - 1 - slot.num_past
@@ -512,13 +522,18 @@ class ContinuousBatchingScheduler:
                 n = min(slot.request.max_tokens - len(slot.generated), H,
                         max(cap, 0))
             if self.paged and n > 0:
-                fit = self._alloc.max_extend(b, n)
+                fit = self._alloc.max_extend(b, n, free_budget=budget)
                 if fit <= 0:
                     # pool dry before this row could take a single step
                     # (class docstring policy: preempt or evict)
                     starved.append(b)
                     continue
                 n = fit
+                before = self._alloc.free_pages
+                if self._alloc.allocate_slots(b, n) is None:
+                    starved.append(b)  # defensive; budget bounds the alloc
+                    continue
+                budget -= before - self._alloc.free_pages
             plan[b] = n
         for b in starved:
             if self._slots[b].request is not None:
@@ -544,9 +559,6 @@ class ContinuousBatchingScheduler:
                     cids[b, i, : len(ids)] = ids
             else:
                 forced[b, : plan[b]] = -1  # device argmax
-            if self.paged and plan[b] > 0:
-                flat = self._alloc.allocate_slots(b, plan[b])
-                assert flat is not None, "max_extend bounded the allocation"
         if self.paged:
             self.cache = self.cache.with_table(self._alloc.tables)
 

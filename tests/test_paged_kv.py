@@ -416,3 +416,65 @@ def test_paged_preempt_resume_matches_uncontended(model):
     contended = run(3, True)     # forces at least one preemption
     solo = run(8, False)
     assert contended == solo
+
+
+def test_resume_admission_gates_on_resume_length(model):
+    """ADVICE r4 high: a preempted request re-prefills prompt+GENERATED, so
+    paged admission must gate on the resume length — the old len(prompt)
+    check admitted into a pool too small for the resume and tripped the
+    allocate_slots assert, killing the scheduler thread."""
+    from blama_tpu.runtime.sampler import Sampler
+
+    sched = ContinuousBatchingScheduler(model, max_batch=2, ctx_size=64,
+                                        paged=True, page_size=8, n_pages=6)
+    base = model.vocab.tokenize("the cat sat on the mat", True, True)
+    req = GenRequest(prompt=base[:4], max_tokens=30,
+                     sampler_params=SamplerParams(temp=0.0))
+    # craft the post-preemption state: 20 resume tokens (3 pages + headroom)
+    resume = (base * 6)[:20]
+    sampler = Sampler(model.vocab, req.sampler_params)
+    for t in resume:
+        sampler.accept(t, False)
+    req._resume = (resume, sampler, [])
+    # row 1 pins 4 of the 6 pages → 2 free: enough for the 4-token prompt
+    # (1 page + headroom) but NOT for the 20-token resume (3 pages + headroom)
+    assert sched._alloc.allocate_slots(1, 4 * 8) is not None
+    sched.submit(req)
+    sched._admit()  # old code: AssertionError here
+    assert all(s.request is None for s in sched._slots)  # parked, not admitted
+    sched._alloc.free_row(1)
+    sched.run_until_idle()
+    assert req.finish_reason in ("stop", "length")
+
+
+@pytest.mark.parametrize("horizon", [8])
+def test_horizon_plan_budget_last_free_page(model, horizon):
+    """ADVICE r4 high: two rows at page boundaries planning a horizon must
+    not both count the same last free page — the plan threads a shrinking
+    page budget; the loser is preempted and later completes instead of the
+    scheduler thread dying on the allocation assert."""
+    sched = ContinuousBatchingScheduler(model, max_batch=2, ctx_size=64,
+                                        paged=True, page_size=8, n_pages=3,
+                                        horizon=horizon)
+    base = model.vocab.tokenize("the cat sat on the mat hello world", True, True)
+    prompt = (base * 3)[:8]  # exactly one page → next token needs a fresh page
+    outs = {}
+    for i in range(2):
+        sched.submit(GenRequest(prompt=list(prompt), max_tokens=10,
+                                sampler_params=SamplerParams(temp=0.0),
+                                on_done=lambda g, i=i: outs.__setitem__(i, g)))
+    sched.run_until_idle()  # old code: AssertionError in _horizon_iteration
+    assert set(outs) == {0, 1}
+    assert all(len(outs[i]) == 10 or
+               model.vocab.is_eog(outs[i][-1].token) for i in range(2))
+    # identical prompts → identical greedy streams, and vs the dense path
+    dense = ContinuousBatchingScheduler(model, max_batch=2, ctx_size=64)
+    ref = {}
+    dense.submit(GenRequest(prompt=list(prompt), max_tokens=10,
+                            sampler_params=SamplerParams(temp=0.0),
+                            on_done=lambda g: ref.__setitem__(0, g)))
+    dense.run_until_idle()
+    want = [p.token for p in ref[0]]
+    for i in range(2):
+        assert [p.token for p in outs[i]] == want
+    assert sched._alloc.free_pages == 3  # pool fully recycled
