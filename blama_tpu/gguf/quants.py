@@ -415,6 +415,259 @@ def dequantize_q6_k(data: np.ndarray, n_rows: int, row_len: int) -> np.ndarray:
     return y.reshape(n_rows, row_len)
 
 
+def quantize_q2_k(x: np.ndarray) -> np.ndarray:
+    """2-bit K-quant: 16 sub-blocks of 16 with 4-bit scale + 4-bit min each
+    (valid encoder; decoder layout is the compatibility contract)."""
+    b = _blocks(x, QK_K)
+    nb = b.shape[0]
+    sub = b.reshape(nb, 16, 16)
+    smin = np.minimum(sub.min(axis=2), 0.0)
+    smax = np.maximum(sub.max(axis=2), 0.0)
+    scale = (smax - smin) / 3.0
+    neg_min = -smin
+    d = scale.max(axis=1) / 15.0
+    dmin = neg_min.max(axis=1) / 15.0
+    d16, dmin16 = _f16(d), _f16(dmin)
+    d = d16.astype(np.float32)
+    dmin = dmin16.astype(np.float32)
+    inv_d = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    inv_m = np.where(dmin > 0, 1.0 / np.where(dmin > 0, dmin, 1.0), 0.0)
+    sc = np.clip(_nearest_int(scale * inv_d[:, None]), 0, 15)
+    mn = np.clip(_nearest_int(neg_min * inv_m[:, None]), 0, 15)
+    eff_scale = d[:, None] * sc
+    eff_min = dmin[:, None] * mn
+    inv = np.where(eff_scale > 0, 1.0 / np.where(eff_scale > 0, eff_scale, 1.0), 0.0)
+    q = np.clip(_nearest_int((sub + eff_min[:, :, None]) * inv[:, :, None]),
+                0, 3).astype(np.uint8)                     # (nb, 16, 16)
+    out = np.zeros((nb, 84), dtype=np.uint8)
+    out[:, 0:16] = (sc | (mn << 4)).astype(np.uint8)
+    qs = out[:, 16:80]
+    # byte l of 32-byte group h holds sub-blocks 8h+2j (+1) at bit 2j
+    for h in range(2):
+        for j in range(4):
+            qs[:, 32 * h: 32 * h + 16] |= q[:, 8 * h + 2 * j] << (2 * j)
+            qs[:, 32 * h + 16: 32 * h + 32] |= q[:, 8 * h + 2 * j + 1] << (2 * j)
+    out[:, 80:82] = d16.view(np.uint8).reshape(-1, 2)
+    out[:, 82:84] = dmin16.view(np.uint8).reshape(-1, 2)
+    return out.reshape(-1)
+
+
+def dequantize_q2_k(data: np.ndarray, n_rows: int, row_len: int) -> np.ndarray:
+    blk = data.reshape(-1, 84)
+    nb = blk.shape[0]
+    scales = blk[:, 0:16]
+    qs = blk[:, 16:80]
+    d = _f16_col(blk, 80, 82)
+    dmin = _f16_col(blk, 82, 84)
+    dl = d[:, None] * (scales & 0xF).astype(np.float32)    # (nb, 16)
+    ml = dmin[:, None] * (scales >> 4).astype(np.float32)
+    y = np.empty((nb, QK_K), dtype=np.float32)
+    for h in range(2):
+        qb = qs[:, 32 * h: 32 * (h + 1)]
+        for j in range(4):
+            for half16 in range(2):
+                s = 8 * h + 2 * j + half16
+                qv = ((qb[:, 16 * half16: 16 * half16 + 16] >> (2 * j)) & 3)
+                y[:, 16 * s: 16 * (s + 1)] = (
+                    dl[:, s, None] * qv.astype(np.float32) - ml[:, s, None])
+    return y.reshape(n_rows, row_len)
+
+
+def _q3k_unpack_scales(s: np.ndarray) -> np.ndarray:
+    """12 packed bytes -> 16 6-bit scales (as int32, stored-value form;
+    usage subtracts 32). Mirrors ggml's kmask bit shuffle."""
+    s = s.astype(np.int32)
+    o = np.empty(s.shape[:-1] + (16,), dtype=np.int32)
+    lo, hi, top = s[..., 0:4], s[..., 4:8], s[..., 8:12]
+    o[..., 0:4] = (lo & 0xF) | ((top & 3) << 4)
+    o[..., 4:8] = (hi & 0xF) | (((top >> 2) & 3) << 4)
+    o[..., 8:12] = (lo >> 4) | (((top >> 4) & 3) << 4)
+    o[..., 12:16] = (hi >> 4) | (((top >> 6) & 3) << 4)
+    return o
+
+
+def _q3k_pack_scales(sc: np.ndarray) -> np.ndarray:
+    """Inverse of _q3k_unpack_scales: 16 6-bit values -> 12 bytes."""
+    sc = sc.astype(np.uint32)
+    out = np.zeros(sc.shape[:-1] + (12,), dtype=np.uint8)
+    out[..., 0:4] = ((sc[..., 0:4] & 0xF) | ((sc[..., 8:12] & 0xF) << 4)).astype(np.uint8)
+    out[..., 4:8] = ((sc[..., 4:8] & 0xF) | ((sc[..., 12:16] & 0xF) << 4)).astype(np.uint8)
+    out[..., 8:12] = ((sc[..., 0:4] >> 4) | ((sc[..., 4:8] >> 4) << 2)
+                      | ((sc[..., 8:12] >> 4) << 4)
+                      | ((sc[..., 12:16] >> 4) << 6)).astype(np.uint8)
+    return out
+
+
+def quantize_q3_k(x: np.ndarray) -> np.ndarray:
+    """3-bit K-quant: 16 sub-blocks of 16, 6-bit signed scales (stored +32),
+    values in [-4, 3] split as 2 low bits (qs) + 1 high bit (hmask)."""
+    b = _blocks(x, QK_K)
+    nb = b.shape[0]
+    sub = b.reshape(nb, 16, 16)
+    # signed-max scale: map the extreme value to -4 exactly (the asymmetric
+    # [-4, 3] range wastes a level under a plain amax/4 scale; the signed
+    # 6-bit sc absorbs the sign, same trick as Q4_0's vmax/-8)
+    idx = np.abs(sub).argmax(axis=2)
+    vmax = np.take_along_axis(sub, idx[:, :, None], axis=2)[:, :, 0]
+    s = vmax / -4.0
+    d = np.abs(s).max(axis=1) / 31.0
+    d16 = _f16(d)
+    d = d16.astype(np.float32)
+    inv_d = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    sc = np.clip(_nearest_int(s * inv_d[:, None]), -32, 31)
+    eff = d[:, None] * sc.astype(np.float32)
+    inv = np.where(eff != 0, 1.0 / np.where(eff != 0, eff, 1.0), 0.0)
+    q = (np.clip(_nearest_int(sub * inv[:, :, None]), -4, 3) + 4).astype(np.uint8)
+    out = np.zeros((nb, 110), dtype=np.uint8)
+    hmask = out[:, 0:32]
+    qs = out[:, 32:96]
+    for h in range(2):
+        for j in range(4):
+            for half16 in range(2):
+                sidx = 8 * h + 2 * j + half16
+                qv = q[:, sidx]                       # (nb, 16), values 0..7
+                qs[:, 32 * h + 16 * half16: 32 * h + 16 * half16 + 16] |= (
+                    (qv & 3) << (2 * j))
+                hmask[:, 16 * half16: 16 * half16 + 16] |= (
+                    (qv >> 2) << (4 * h + j))
+    out[:, 96:108] = _q3k_pack_scales(sc + 32)
+    out[:, 108:110] = d16.view(np.uint8).reshape(-1, 2)
+    return out.reshape(-1)
+
+
+def dequantize_q3_k(data: np.ndarray, n_rows: int, row_len: int) -> np.ndarray:
+    blk = data.reshape(-1, 110)
+    nb = blk.shape[0]
+    hmask = blk[:, 0:32]
+    qs = blk[:, 32:96]
+    sc = _q3k_unpack_scales(blk[:, 96:108]) - 32            # (nb, 16)
+    d = _f16_col(blk, 108, 110)
+    dl = d[:, None] * sc.astype(np.float32)
+    y = np.empty((nb, QK_K), dtype=np.float32)
+    for h in range(2):
+        qb = qs[:, 32 * h: 32 * (h + 1)]
+        for j in range(4):
+            mbit = 4 * h + j
+            for half16 in range(2):
+                s = 8 * h + 2 * j + half16
+                lo = ((qb[:, 16 * half16: 16 * half16 + 16] >> (2 * j)) & 3).astype(np.int32)
+                hi = ((hmask[:, 16 * half16: 16 * half16 + 16] >> mbit) & 1).astype(np.int32)
+                qv = lo - np.where(hi == 1, 0, 4)
+                y[:, 16 * s: 16 * (s + 1)] = dl[:, s, None] * qv.astype(np.float32)
+    return y.reshape(n_rows, row_len)
+
+
+def quantize_q8_k(x: np.ndarray) -> np.ndarray:
+    """Q8_K: 256-elem blocks, f32 scale + int8 values + per-16 bsums (the
+    K-quant dot-product activation format; storable like any other type)."""
+    b = _blocks(x, QK_K)
+    amax = np.abs(b).max(axis=1)
+    d = (amax / 127.0).astype(np.float32)
+    inv = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    q = np.clip(_nearest_int(b * inv[:, None]), -128, 127).astype(np.int8)
+    bsums = q.astype(np.int32).reshape(-1, 16, 16).sum(axis=2)
+    out = np.empty((b.shape[0], 292), dtype=np.uint8)
+    out[:, 0:4] = d.view(np.uint8).reshape(-1, 4)
+    out[:, 4:260] = q.view(np.uint8)
+    out[:, 260:292] = bsums.astype(np.int16).view(np.uint8).reshape(-1, 32)
+    return out.reshape(-1)
+
+
+def dequantize_q8_k(data: np.ndarray, n_rows: int, row_len: int) -> np.ndarray:
+    blk = data.reshape(-1, 292)
+    d = blk[:, 0:4].copy().view(np.float32).reshape(-1, 1)
+    q = blk[:, 4:260].view(np.int8).astype(np.float32)
+    return (q * d).reshape(n_rows, row_len)
+
+
+# non-linear 4-bit codebook shared by IQ4_NL and IQ4_XS (public ggml LUT)
+KVALUES_IQ4NL = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113],
+    dtype=np.int8)
+
+
+def _nearest_iq4_index(t: np.ndarray) -> np.ndarray:
+    """Index of the nearest KVALUES_IQ4NL entry for each element of t."""
+    kv = KVALUES_IQ4NL.astype(np.float32)
+    edges = (kv[:-1] + kv[1:]) / 2.0
+    return np.searchsorted(edges, t).astype(np.uint8)
+
+
+def quantize_iq4_nl(x: np.ndarray) -> np.ndarray:
+    """IQ4_NL: 32-elem blocks, fp16 scale + 4-bit indices into the shared
+    non-linear codebook (valid nearest-codeword encoder; llama.cpp's scale
+    search is not required for decode compatibility)."""
+    b = _blocks(x, 32)
+    amax = np.abs(b).max(axis=1)
+    d = (amax / 127.0).astype(np.float32)
+    d16 = _f16(d)
+    d = d16.astype(np.float32)
+    inv = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    idx = _nearest_iq4_index(b * inv[:, None])
+    out = np.empty((b.shape[0], 18), dtype=np.uint8)
+    out[:, 0:2] = d16.view(np.uint8).reshape(-1, 2)
+    out[:, 2:] = idx[:, :16] | (idx[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+def dequantize_iq4_nl(data: np.ndarray, n_rows: int, row_len: int) -> np.ndarray:
+    blk = data.reshape(-1, 18)
+    d = _f16_col(blk, 0, 2)[:, None]
+    qs = blk[:, 2:]
+    kv = KVALUES_IQ4NL.astype(np.float32)
+    lo = kv[(qs & 0x0F).astype(np.intp)]
+    hi = kv[(qs >> 4).astype(np.intp)]
+    return (np.concatenate([lo, hi], axis=1) * d).reshape(n_rows, row_len)
+
+
+def quantize_iq4_xs(x: np.ndarray) -> np.ndarray:
+    """IQ4_XS: 256-elem superblocks, 8 sub-blocks of 32 sharing the IQ4_NL
+    codebook, 6-bit per-sub scales (stored-value - 32) under an fp16 super
+    scale."""
+    b = _blocks(x, QK_K)
+    nb = b.shape[0]
+    sub = b.reshape(nb, 8, 32)
+    amax = np.abs(sub).max(axis=2)
+    t = amax / 127.0                       # ideal per-sub scale
+    d = t.max(axis=1) / 31.0
+    d16 = _f16(d)
+    d = d16.astype(np.float32)
+    inv_d = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    ls = np.clip(_nearest_int(t * inv_d[:, None]), 0, 31) + 32   # stored 32..63
+    dl = d[:, None] * (ls - 32).astype(np.float32)
+    inv = np.where(dl > 0, 1.0 / np.where(dl > 0, dl, 1.0), 0.0)
+    idx = _nearest_iq4_index(sub * inv[:, :, None])              # (nb, 8, 32)
+    out = np.zeros((nb, 136), dtype=np.uint8)
+    out[:, 0:2] = d16.view(np.uint8).reshape(-1, 2)
+    scales_h = np.zeros(nb, dtype=np.uint32)
+    for ib in range(8):
+        scales_h |= ((ls[:, ib].astype(np.uint32) >> 4) & 3) << (2 * ib)
+        out[:, 4 + ib // 2] |= ((ls[:, ib] & 0xF) << (4 * (ib % 2))).astype(np.uint8)
+        out[:, 8 + 16 * ib: 8 + 16 * (ib + 1)] = (
+            idx[:, ib, :16] | (idx[:, ib, 16:] << 4))
+    out[:, 2:4] = scales_h.astype(np.uint16).view(np.uint8).reshape(-1, 2)
+    return out.reshape(-1)
+
+
+def dequantize_iq4_xs(data: np.ndarray, n_rows: int, row_len: int) -> np.ndarray:
+    blk = data.reshape(-1, 136)
+    nb = blk.shape[0]
+    d = _f16_col(blk, 0, 2)
+    scales_h = blk[:, 2:4].copy().view(np.uint16).astype(np.int32).reshape(-1)
+    kv = KVALUES_IQ4NL.astype(np.float32)
+    y = np.empty((nb, QK_K), dtype=np.float32)
+    for ib in range(8):
+        ls = (((blk[:, 4 + ib // 2] >> (4 * (ib % 2))) & 0xF).astype(np.int32)
+              | (((scales_h >> (2 * ib)) & 3) << 4))
+        dl = (d * (ls - 32))[:, None]
+        qs = blk[:, 8 + 16 * ib: 8 + 16 * (ib + 1)]
+        lo = kv[(qs & 0x0F).astype(np.intp)]
+        hi = kv[(qs >> 4).astype(np.intp)]
+        y[:, 32 * ib: 32 * ib + 16] = dl * lo
+        y[:, 32 * ib + 16: 32 * (ib + 1)] = dl * hi
+    return y.reshape(n_rows, row_len)
+
+
 # ---------------------------------------------------------------------------
 # plain float formats
 # ---------------------------------------------------------------------------
@@ -443,6 +696,11 @@ _QUANTIZERS = {
     GGMLType.Q4_K: quantize_q4_k,
     GGMLType.Q5_K: quantize_q5_k,
     GGMLType.Q6_K: quantize_q6_k,
+    GGMLType.Q2_K: quantize_q2_k,
+    GGMLType.Q3_K: quantize_q3_k,
+    GGMLType.Q8_K: quantize_q8_k,
+    GGMLType.IQ4_NL: quantize_iq4_nl,
+    GGMLType.IQ4_XS: quantize_iq4_xs,
 }
 
 _DEQUANTIZERS = {
@@ -454,6 +712,11 @@ _DEQUANTIZERS = {
     GGMLType.Q4_K: dequantize_q4_k,
     GGMLType.Q5_K: dequantize_q5_k,
     GGMLType.Q6_K: dequantize_q6_k,
+    GGMLType.Q2_K: dequantize_q2_k,
+    GGMLType.Q3_K: dequantize_q3_k,
+    GGMLType.Q8_K: dequantize_q8_k,
+    GGMLType.IQ4_NL: dequantize_iq4_nl,
+    GGMLType.IQ4_XS: dequantize_iq4_xs,
 }
 
 
@@ -485,7 +748,8 @@ def dequantize(data: np.ndarray, t: GGMLType, shape: tuple[int, ...]) -> np.ndar
     n_elements = int(np.prod(shape)) if shape else 1
     row_len = shape[-1] if shape else 1
     n_rows = n_elements // row_len
-    if t in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0):
+    if t in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0,
+             GGMLType.Q2_K, GGMLType.Q3_K):
         # threaded C++ fast path (bit-identical to the numpy reference; both
         # are covered by tests/test_native.py)
         from .. import native

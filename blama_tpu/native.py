@@ -70,6 +70,8 @@ def get_lib() -> ctypes.CDLL | None:
             ("blama_dequant_q5k", [u8p, f32p, ctypes.c_int64]),
             ("blama_dequant_q6k", [u8p, f32p, ctypes.c_int64]),
             ("blama_dequant_q8_0", [u8p, f32p, ctypes.c_int64]),
+            ("blama_dequant_q2k", [u8p, f32p, ctypes.c_int64]),
+            ("blama_dequant_q3k", [u8p, f32p, ctypes.c_int64]),
             ("blama_repack_q4k", [u8p, ctypes.c_int64, ctypes.c_int64,
                                   ctypes.c_int64, u8p, f32p, f32p]),
             ("blama_repack_q4k_native", [u8p, ctypes.c_int64, ctypes.c_int64,
@@ -105,6 +107,8 @@ _DEQUANT_FNS = {
     "Q5_K": ("blama_dequant_q5k", 176, 256),
     "Q6_K": ("blama_dequant_q6k", 210, 256),
     "Q8_0": ("blama_dequant_q8_0", 34, 32),
+    "Q2_K": ("blama_dequant_q2k", 84, 256),
+    "Q3_K": ("blama_dequant_q3k", 110, 256),
 }
 
 

@@ -186,6 +186,75 @@ void blama_dequant_q5k(const uint8_t* src, float* dst, int64_t n_blocks) {
     });
 }
 
+// Q2_K superblocks (84 B) → float32: 16 sub-blocks of 16 with 4-bit
+// scale/min pairs under fp16 super-scales; byte l of 32-byte half h holds
+// sub-blocks 8h+2j(+1) at bit 2j.
+void blama_dequant_q2k(const uint8_t* src, float* dst, int64_t n_blocks) {
+    parallel_for(n_blocks, [&](int64_t lo, int64_t hi) {
+        for (int64_t b = lo; b < hi; ++b) {
+            const uint8_t* blk = src + b * 84;
+            float* out = dst + b * 256;
+            const uint8_t* scales = blk;
+            const uint8_t* qs = blk + 16;
+            float d = f16_to_f32(*(const uint16_t*)(blk + 80));
+            float dmin = f16_to_f32(*(const uint16_t*)(blk + 82));
+            int is = 0;
+            for (int h = 0; h < 2; ++h) {
+                const uint8_t* q = qs + 32 * h;
+                for (int j = 0; j < 4; ++j) {
+                    int shift = 2 * j;
+                    for (int half = 0; half < 2; ++half) {
+                        uint8_t sc = scales[is++];
+                        float dl = d * (sc & 0xF), ml = dmin * (sc >> 4);
+                        const uint8_t* qq = q + 16 * half;
+                        for (int l = 0; l < 16; ++l)
+                            *out++ = dl * ((qq[l] >> shift) & 3) - ml;
+                    }
+                }
+            }
+        }
+    });
+}
+
+// Q3_K superblocks (110 B) → float32: 2 low bits in qs at bit 2j, high bit
+// in hmask at bit 4h+j (clear bit = subtract 4); 16 6-bit scales via the
+// kmask shuffle, used as (stored - 32).
+void blama_dequant_q3k(const uint8_t* src, float* dst, int64_t n_blocks) {
+    parallel_for(n_blocks, [&](int64_t lo, int64_t hi) {
+        for (int64_t b = lo; b < hi; ++b) {
+            const uint8_t* blk = src + b * 110;
+            float* out = dst + b * 256;
+            const uint8_t* hm = blk;
+            const uint8_t* qs = blk + 32;
+            const uint8_t* s = blk + 96;
+            float d = f16_to_f32(*(const uint16_t*)(blk + 108));
+            int sc[16];
+            for (int k = 0; k < 4; ++k) {
+                sc[k] = (s[k] & 0xF) | ((s[8 + k] & 3) << 4);
+                sc[4 + k] = (s[4 + k] & 0xF) | (((s[8 + k] >> 2) & 3) << 4);
+                sc[8 + k] = (s[k] >> 4) | (((s[8 + k] >> 4) & 3) << 4);
+                sc[12 + k] = (s[4 + k] >> 4) | (((s[8 + k] >> 6) & 3) << 4);
+            }
+            int is = 0;
+            for (int h = 0; h < 2; ++h) {
+                const uint8_t* q = qs + 32 * h;
+                for (int j = 0; j < 4; ++j) {
+                    int shift = 2 * j;
+                    uint8_t m = (uint8_t)(1 << (4 * h + j));
+                    for (int half = 0; half < 2; ++half) {
+                        float dl = d * (sc[is++] - 32);
+                        const uint8_t* qq = q + 16 * half;
+                        const uint8_t* hh = hm + 16 * half;
+                        for (int l = 0; l < 16; ++l)
+                            *out++ = dl * (((qq[l] >> shift) & 3) -
+                                           ((hh[l] & m) ? 0 : 4));
+                    }
+                }
+            }
+        }
+    });
+}
+
 // Q4_K GGUF bytes → TPU fused-kernel layout, fused unpack+transpose+pair:
 //   codes_packed u8 [K/2, N_pad] (pairing rows j and j+128 within 256-tiles)
 //   scales f32 [K/32, N_pad], mins f32 [K/32, N_pad]

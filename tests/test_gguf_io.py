@@ -94,3 +94,39 @@ def test_bad_magic(tmp_path):
     p.write_bytes(b"NOPE" + b"\x00" * 64)
     with pytest.raises(ValueError, match="magic"):
         GGUFReader(str(p))
+
+
+@pytest.mark.parametrize("quant", [GGMLType.Q2_K, GGMLType.Q3_K,
+                                   GGMLType.Q8_K, GGMLType.IQ4_NL,
+                                   GGMLType.IQ4_XS])
+def test_new_quant_formats_serve_end_to_end(tmp_path, quant):
+    """Round-5 formats (VERDICT r4 #3): a GGUF written in each newly
+    supported type loads through the dense dequant path, generates, and
+    replays bit-exactly (fillCtx verification invariant, SURVEY.md §3.3)."""
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / f"t_{quant.name}.gguf")
+    write_tiny_llama(p, quant)
+    m = Model(p)
+    try:
+        inst = Instance(m, InstanceInitParams(ctx_size=64))
+        s = inst.start_session(SessionInitParams(seed=0, temperature=0.0))
+        s.set_initial_prompt(m.vocab.tokenize("hello world", True, True))
+        preds = s.complete(CompleteParams(max_tokens=6))
+        assert len(preds) >= 1
+        assert all(np.isfinite([td.logit for pr in preds for td in pr.logits]))
+        inst.stop_session()
+        # bit-exact same-backend replay
+        s2 = inst.start_session(SessionInitParams(seed=0, temperature=0.0))
+        s2.set_initial_prompt(m.vocab.tokenize("hello world", True, True))
+        replayed = s2.fill_ctx(preds)
+        for orig, rep in zip(preds, replayed):
+            assert rep.token == orig.token
+            assert {td.token: td.logit for td in orig.logits} == \
+                   {td.token: td.logit for td in rep.logits}
+        inst.stop_session()
+    finally:
+        m.close()

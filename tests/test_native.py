@@ -19,7 +19,7 @@ def lib():
 RNG = np.random.default_rng(0)
 
 
-@pytest.mark.parametrize("t", [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0])
+@pytest.mark.parametrize("t", [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0, GGMLType.Q2_K, GGMLType.Q3_K])
 def test_native_dequant_bitexact(lib, t):
     block = 256 if t.name.endswith("K") else 32
     x = (RNG.standard_normal((8, block * 4)) * 0.5).astype(np.float32)
@@ -66,7 +66,7 @@ def test_dequantize_dispatch_uses_native(lib):
     np.testing.assert_array_equal(via_dispatch, direct)
 
 
-@pytest.mark.parametrize("t", [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0])
+@pytest.mark.parametrize("t", [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_0, GGMLType.Q2_K, GGMLType.Q3_K])
 def test_native_dequant_subnormal_scales(lib, t):
     """Tiny weights force SUBNORMAL f16 block scales (d < 2^-14): the native
     f16_to_f32 subnormal branch had an exponent off-by-one that halved every
