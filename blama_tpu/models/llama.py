@@ -412,7 +412,6 @@ def forward(
     if paged:
         use_fused_attn = (
             _fused_ok
-            and _mesh is None
             and tokens.shape[1] == 1
             and pattn.supports(cache.page_size, D, cache.k.dtype)
         )
@@ -504,17 +503,31 @@ def forward(
 
         if paged:
             if use_fused_attn:
-                attn = pattn.paged_decode_attention(
-                    q, k_l, v_l, new_positions, cache.page_table,
-                    positions[:, 0], inv_freq_e,
-                    k_scale=ks_l, v_scale=vs_l, mscale=rope_mscale,
-                )
+                if _mesh is not None:
+                    attn = pattn.paged_decode_attention_sharded(
+                        _mesh, q, k_l, v_l, new_positions, cache.page_table,
+                        positions[:, 0], inv_freq_e,
+                        k_scale=ks_l, v_scale=vs_l, mscale=rope_mscale,
+                    )
+                else:
+                    attn = pattn.paged_decode_attention(
+                        q, k_l, v_l, new_positions, cache.page_table,
+                        positions[:, 0], inv_freq_e,
+                        k_scale=ks_l, v_scale=vs_l, mscale=rope_mscale,
+                    )
             elif use_fused_prefill:
-                attn = pattn.paged_prefill_attention(
-                    q, k_l, v_l, new_positions, cache.page_table,
-                    positions, inv_freq_e,
-                    k_scale=ks_l, v_scale=vs_l, mscale=rope_mscale,
-                )
+                if _mesh is not None:
+                    attn = pattn.paged_prefill_attention_sharded(
+                        _mesh, q, k_l, v_l, new_positions, cache.page_table,
+                        positions, inv_freq_e,
+                        k_scale=ks_l, v_scale=vs_l, mscale=rope_mscale,
+                    )
+                else:
+                    attn = pattn.paged_prefill_attention(
+                        q, k_l, v_l, new_positions, cache.page_table,
+                        positions, inv_freq_e,
+                        k_scale=ks_l, v_scale=vs_l, mscale=rope_mscale,
+                    )
             else:
                 # XLA fallback: gather the logical row view (bit-identical to
                 # a dense row; see ops/paged_kv.py) and run the dense chain

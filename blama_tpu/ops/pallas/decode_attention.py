@@ -766,9 +766,13 @@ def decode_attention_sharded(mesh, q, k_cache, v_cache, q_pos, kv_pos,
                                 logit_scale=logit_scale, mscale=mscale,
                                 layer=layer)
 
+    # inv_freq_e is rank-1 [D] (replicated) — a rank-2 spec here was a
+    # latent bug masked by the supports() gate rejecting the small test
+    # geometries (every mesh+fused test silently fell back to XLA attention
+    # until a ctx the kernel accepts was exercised, round 5)
     args = [q, k_cache, v_cache, q_pos, kv_pos, inv_freq_e]
     specs = [P("dp", None, "tp", None), kv_spec, kv_spec, P("dp"),
-             P("dp", None), P(None, None)]
+             P("dp", None), P(None)]
     if quant:
         args += [k_scale, v_scale]
         specs += [sc_spec, sc_spec]

@@ -129,10 +129,13 @@ class Model:
                 # fuse qkv/gate-up dispatches for plain unsharded serving;
                 # tp_blocks (verification) modes keep the unfused layout so
                 # solo and sharded engines share identical arithmetic
+                import os as _os
+
                 w = load_llama_params(
                     self.reader, self.config, dtype, fused_quant=fused,
                     fuse_proj=bool(fused) and self.params.mesh is None
-                    and self.config.tp_blocks == 0)
+                    and self.config.tp_blocks == 0
+                    and _os.environ.get("BLAMA_FUSE_PROJ", "1") != "0")
         elif arch == "gpt2":
             from ..models.gpt2 import load_gpt2_params
 

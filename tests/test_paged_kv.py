@@ -478,3 +478,97 @@ def test_horizon_plan_budget_last_free_page(model, horizon):
     for i in range(2):
         assert [p.token for p in outs[i]] == want
     assert sched._alloc.free_pages == 3  # pool fully recycled
+
+
+# -- sharded paged pool (VERDICT r4 #3) --------------------------------------
+
+@pytest.fixture(scope="module")
+def quant_paged_gguf(tmp_path_factory):
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path_factory.mktemp("qpm") / "q.gguf")
+    write_tiny_llama(p, GGMLType.Q4_K,
+                     spec=dict(n_layer=2, n_embd=1024, n_ff=2048,
+                               n_head=8, n_head_kv=4))
+    return p
+
+
+def test_paged_fused_attention_sharded_bit_exact(quant_paged_gguf):
+    """Pallas paged attention under a tp mesh (per-head shard_map island,
+    pool sharded on the kv-head axis): scheduler greedy streams with
+    paged + fused attention are IDENTICAL solo vs tp=2, and match the
+    dense-cache scheduler (placement-invariant logical view)."""
+    from blama_tpu.parallel.mesh import make_mesh
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.sampler import SamplerParams
+
+    prompts = ["hello world", "the cat sat"]
+
+    def run(mesh, paged, attn="fused"):
+        m = Model(quant_paged_gguf, ModelParams(
+            dtype="q4k_a8", mesh=mesh, tp_blocks=4, attn=attn))
+        try:
+            sched = ContinuousBatchingScheduler(
+                m, max_batch=2, ctx_size=256,
+                **(dict(paged=True, page_size=128) if paged else {}))
+            outs = {}
+            for i, p in enumerate(prompts):
+                sched.submit(GenRequest(
+                    prompt=m.vocab.tokenize(p, True, True), max_tokens=6,
+                    sampler_params=SamplerParams(temp=0.0),
+                    on_done=lambda g, i=i: outs.__setitem__(
+                        i, [x.token for x in g])))
+            sched.run_until_idle()
+            return [outs[i] for i in range(len(prompts))]
+        finally:
+            m.close()
+
+    solo_paged = run(None, True)
+    tp2_paged = run(make_mesh(1, 2), True)
+    tp2_dense = run(make_mesh(1, 2), False)
+    assert solo_paged == tp2_paged == tp2_dense
+
+
+def test_sharded_fused_kernels_actually_dispatch(quant_paged_gguf, monkeypatch):
+    """Guard against silent XLA-attention fallback: at a kernel-supported
+    geometry, the mesh path must call the SHARDED Pallas wrappers (the
+    round-5 inv_freq_e spec-rank bug hid behind exactly this fallback)."""
+    import blama_tpu.ops.pallas.decode_attention as dattn
+    import blama_tpu.ops.pallas.paged_attention as pattn
+    from blama_tpu.parallel.mesh import make_mesh
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.sampler import SamplerParams
+
+    calls = {"dense": 0, "paged": 0}
+    orig_d = dattn.decode_attention_sharded
+    orig_p = pattn.paged_decode_attention_sharded
+
+    def spy_d(*a, **k):
+        calls["dense"] += 1
+        return orig_d(*a, **k)
+
+    def spy_p(*a, **k):
+        calls["paged"] += 1
+        return orig_p(*a, **k)
+
+    monkeypatch.setattr(dattn, "decode_attention_sharded", spy_d)
+    monkeypatch.setattr(pattn, "paged_decode_attention_sharded", spy_p)
+
+    for paged in (False, True):
+        m = Model(quant_paged_gguf, ModelParams(
+            dtype="q4k_a8", mesh=make_mesh(1, 2), tp_blocks=4, attn="fused"))
+        try:
+            sched = ContinuousBatchingScheduler(
+                m, max_batch=2, ctx_size=256,
+                **(dict(paged=True, page_size=128) if paged else {}))
+            done = {}
+            sched.submit(GenRequest(
+                prompt=m.vocab.tokenize("hello", True, True), max_tokens=2,
+                sampler_params=SamplerParams(temp=0.0),
+                on_done=lambda g: done.__setitem__("g", g)))
+            sched.run_until_idle()
+            assert len(done["g"]) == 2
+        finally:
+            m.close()
+    assert calls["dense"] > 0, "dense sharded fused kernel never dispatched"
+    assert calls["paged"] > 0, "paged sharded fused kernel never dispatched"

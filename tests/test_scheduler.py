@@ -453,3 +453,166 @@ def test_horizon_paged_verify_scores_one(model):
                             on_done=lambda s: got.__setitem__("s", s)))
     sv.run_until_idle()
     assert got["s"] == 1.0, got["s"]
+
+
+# -- scheduler under a device mesh (VERDICT r4 #2) ---------------------------
+
+@pytest.fixture(scope="module")
+def quant_gguf_sched(tmp_path_factory):
+    """tp_blocks=4-eligible geometry (contraction dims multiples of 4*256)."""
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path_factory.mktemp("qs") / "q.gguf")
+    write_tiny_llama(p, GGMLType.Q4_K,
+                     spec=dict(n_layer=2, n_embd=1024, n_ff=2048,
+                               n_head=8, n_head_kv=4))
+    return p
+
+
+def _sched_tokens(model, prompts, n, **kw):
+    sched = ContinuousBatchingScheduler(model, **kw)
+    outs = {}
+    for i, p in enumerate(prompts):
+        sched.submit(GenRequest(
+            prompt=model.vocab.tokenize(p, True, True), max_tokens=n,
+            sampler_params=greedy_params(),
+            on_done=lambda preds, i=i: outs.__setitem__(
+                i, [pr.token for pr in preds])))
+    sched.run_until_idle()
+    return [outs[i] for i in range(len(prompts))]
+
+
+def test_scheduler_on_tp_mesh_matches_solo(quant_gguf_sched):
+    """Continuous batching drives the tp-sharded PACKED engine: batched
+    greedy streams on a tp=2 mesh equal solo sharded Sessions AND the solo
+    unsharded engine (tp_blocks fixed topology is sharding-invariant)."""
+    from blama_tpu.parallel.mesh import make_mesh
+    from blama_tpu.runtime.model import Model, ModelParams
+
+    prompts = ["hello world", "the cat sat", "president george"]
+    m = Model(quant_gguf_sched, ModelParams(dtype="q4k_a8",
+                                            mesh=make_mesh(1, 2),
+                                            tp_blocks=4))
+    try:
+        batched = _sched_tokens(m, prompts, 6, max_batch=4, ctx_size=64)
+        # solo sharded Sessions on the same model
+        from blama_tpu.runtime.instance import Instance, InstanceInitParams
+        from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+
+        for i, p in enumerate(prompts):
+            inst = Instance(m, InstanceInitParams(ctx_size=64,
+                                                  fast_greedy=False))
+            s = inst.start_session(SessionInitParams(seed=0, temperature=0.0))
+            s.set_initial_prompt(m.vocab.tokenize(p, True, True))
+            solo = [pr.token for pr in s.complete(CompleteParams(max_tokens=6))]
+            inst.stop_session()
+            assert batched[i] == solo, f"prompt {p!r}"
+    finally:
+        m.close()
+    # solo UNSHARDED engine at the same tp_blocks: bit-exact across shardings
+    m1 = Model(quant_gguf_sched, ModelParams(dtype="q4k_a8", tp_blocks=4))
+    try:
+        solo1 = _sched_tokens(m1, prompts, 6, max_batch=4, ctx_size=64)
+        assert batched == solo1
+    finally:
+        m1.close()
+
+
+def test_scheduler_mesh_horizon_and_paged(quant_gguf_sched):
+    """Horizon mode and the paged pool compose with the tp mesh: all four
+    scheduler modes produce identical greedy streams on the sharded engine."""
+    from blama_tpu.parallel.mesh import make_mesh
+    from blama_tpu.runtime.model import Model, ModelParams
+
+    prompts = ["hello world", "one two three"]
+    m = Model(quant_gguf_sched, ModelParams(dtype="q4k_a8",
+                                            mesh=make_mesh(1, 2),
+                                            tp_blocks=4))
+    try:
+        plain = _sched_tokens(m, prompts, 6, max_batch=2, ctx_size=64)
+        horizon = _sched_tokens(m, prompts, 6, max_batch=2, ctx_size=64,
+                                horizon=4)
+        paged = _sched_tokens(m, prompts, 6, max_batch=2, ctx_size=64,
+                              paged=True, page_size=16)
+        hp = _sched_tokens(m, prompts, 6, max_batch=2, ctx_size=64,
+                           paged=True, page_size=16, horizon=4)
+        assert plain == horizon == paged == hp
+    finally:
+        m.close()
+
+
+def test_scheduler_mesh_prover_solo_verifier(quant_gguf_sched):
+    """A tp=2 scheduler prover's claim verifies on the UNSHARDED engine:
+    bit-exact through a solo-engine scheduler at the same max_batch (the
+    tp_blocks fixed topology makes sharding invisible; batch geometry is
+    the remaining numerics knob, as for the dense scheduler contract), and
+    at the reference cross-backend thresholds on a solo Session
+    (t-LogitComparer.cpp:76-78)."""
+    from blama_tpu.parallel.mesh import make_mesh
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import SessionInitParams
+    from blama_tpu.server.scheduler import VerifyRequest
+
+    prompt = "the dog ran over"
+    m = Model(quant_gguf_sched, ModelParams(dtype="q4k_a8",
+                                            mesh=make_mesh(1, 2),
+                                            tp_blocks=4))
+    got = {}
+    try:
+        sched = ContinuousBatchingScheduler(m, max_batch=2, ctx_size=64)
+        sched.submit(GenRequest(
+            prompt=m.vocab.tokenize(prompt, True, True), max_tokens=5,
+            sampler_params=greedy_params(),
+            on_done=lambda preds: got.__setitem__("p", preds)))
+        sched.run_until_idle()
+    finally:
+        m.close()
+    mv = Model(quant_gguf_sched, ModelParams(dtype="q4k_a8", tp_blocks=4))
+    try:
+        # bit-exact leg: solo-engine scheduler verifier, same max_batch
+        sv = ContinuousBatchingScheduler(mv, max_batch=2, ctx_size=64)
+        sv.submit(VerifyRequest(
+            prompt=mv.vocab.tokenize(prompt, True, True),
+            predictions=got["p"],
+            on_done=lambda s: got.__setitem__("score", s)))
+        sv.run_until_idle()
+        assert got["score"] == 1.0, got["score"]
+        # threshold leg: solo Session replay within reference bounds
+        from blama_tpu.runtime.verify import LogitComparer, MetricsAggregator
+
+        inst = Instance(mv, InstanceInitParams(ctx_size=64, fast_greedy=False))
+        s = inst.start_session(SessionInitParams(seed=0, temperature=0.0))
+        s.set_initial_prompt(mv.vocab.tokenize(prompt, True, True))
+        replayed = s.fill_ctx(got["p"])
+        agg = MetricsAggregator()
+        score = 0.0
+        for orig, rep in zip(got["p"], replayed):
+            assert rep.token == orig.token
+            score = agg.push_and_verify(
+                LogitComparer.compare(orig.logits, rep.logits))
+        assert score >= 0.95, score
+        inst.stop_session()
+    finally:
+        mv.close()
+
+
+def test_scheduler_dp_tp_mesh(quant_gguf_sched):
+    """dp x tp mesh: the batch axis rides dp (max_batch divisible by dp)."""
+    from blama_tpu.parallel.mesh import make_mesh
+    from blama_tpu.runtime.model import Model, ModelParams
+
+    prompts = ["hello world", "the cat sat", "one two", "president george"]
+    m = Model(quant_gguf_sched, ModelParams(dtype="q4k_a8",
+                                            mesh=make_mesh(2, 2),
+                                            tp_blocks=4))
+    try:
+        batched = _sched_tokens(m, prompts, 5, max_batch=4, ctx_size=64)
+    finally:
+        m.close()
+    m1 = Model(quant_gguf_sched, ModelParams(dtype="q4k_a8", tp_blocks=4))
+    try:
+        solo = _sched_tokens(m1, prompts, 5, max_batch=4, ctx_size=64)
+        assert batched == solo
+    finally:
+        m1.close()
