@@ -27,6 +27,11 @@ from ..runtime.sampler import Sampler, SamplerParams
 from ..runtime.token_data import TokenData, TokenPrediction
 from ..utils.metrics import Metrics
 
+# multi-host scheduler opcodes (parallel/multihost.SchedulerHostLoop): host 0
+# broadcasts one of these + the _dev_* args before each device dispatch
+(OP_S_STEP, OP_S_SYNC, OP_S_HORIZON, OP_S_RELEASE, OP_S_STOP,
+ OP_S_PULL) = 10, 11, 12, 13, 14, 15
+
 
 @dataclass
 class GenRequest:
@@ -177,7 +182,119 @@ class ContinuousBatchingScheduler:
             return logits, cache
 
         self._step = step
-        self._li0 = self._put1(jnp.zeros((self.B,), jnp.int32))
+        # multi-host broadcast hook (parallel/multihost.SchedulerHostLoop):
+        # when set (host 0 of a jax.distributed serving group), every
+        # device-state mutation below (_dev_*) sends (op, args) to the
+        # follower processes BEFORE executing, so the sharded cache and
+        # device logits evolve in lockstep on every host (SPMD).
+        self._mh: Callable | None = None
+
+    # -- device-op layer ------------------------------------------------------
+    # Every mutation of device state (cache, _dev_logits) happens in the
+    # _dev_* methods, which take host-serializable inputs only (numpy
+    # arrays / ints / None). Host-side bookkeeping (slots, samplers,
+    # admission) stays out — that is what makes the multi-host driver's
+    # follower replay possible: followers call the same methods with the
+    # broadcast arguments and never see requests at all.
+
+    @staticmethod
+    def _host(arr) -> np.ndarray:
+        """Materialize a (possibly cross-process) device array on the host.
+
+        Under jax.distributed the step outputs span non-addressable devices;
+        process_allgather is a COLLECTIVE, so every process (host 0 and the
+        followers replaying _dev_* calls) reaches it in lockstep."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(arr, tiled=True))
+        return np.asarray(arr)
+
+    def _dev_step(self, toks, pos, sl, li, table=None, capture=(),
+                  pull=True):
+        """One batched forward step; returns the [B, V] logits as a HOST
+        array (None when `pull` is false — mid-prompt prefill chunks whose
+        logits nobody reads skip the transfer). `table`: paged page-table
+        snapshot to install first. `capture`: rows whose last-token logits
+        this chunk holds — copied into the on-device logits buffer
+        (horizon mode)."""
+        if self._mh is not None:
+            self._mh(OP_S_STEP, (toks, pos, sl, li, table,
+                                 np.asarray(capture, np.int32),
+                                 np.asarray([int(pull)], np.int32)))
+        if table is not None:
+            self.cache = self.cache.with_table(table)
+        logits, self.cache = self._step(
+            self.model.weights, self._put2(toks), self._put2(pos),
+            self._put2(sl), self.cache, self._put1(li),
+        )
+        for b in capture:
+            if self._dev_logits is None:
+                self._dev_logits = jnp.zeros_like(logits)
+            self._dev_logits = self._dev_logits.at[int(b)].set(logits[int(b)])
+        return self._host(logits) if pull else None
+
+    def _dev_pull(self) -> np.ndarray:
+        """Materialize the on-device logits buffer (horizon → per-token
+        mode transition) on the host, on every process."""
+        if self._mh is not None:
+            self._mh(OP_S_PULL, ())
+        return self._host(self._dev_logits).astype(np.float32)
+
+    def _dev_sync(self, rows, host_logits) -> None:
+        """Ensure the device logits buffer exists and refresh `rows` from
+        host values (per-token → horizon mode transition)."""
+        if self._mh is not None:
+            self._mh(OP_S_SYNC, (np.asarray(rows, np.int32),
+                                 np.asarray(host_logits, np.float32)))
+        if self._dev_logits is None:
+            self._dev_logits = self._put2(jnp.zeros(
+                (self.B, self.model.config.n_vocab), jnp.float32))
+        for i, b in enumerate(rows):
+            self._dev_logits = self._dev_logits.at[int(b)].set(
+                jnp.asarray(host_logits[i]))
+
+    def _dev_horizon(self, start_pos, forced, cids, H: int, table=None):
+        """H fused decode steps (ops/generate_loop.scheduler_loop)."""
+        from ..ops.generate_loop import scheduler_loop
+
+        if self._mh is not None:
+            self._mh(OP_S_HORIZON, (start_pos, forced, cids,
+                                    np.asarray([H], np.int32), table))
+        if table is not None:
+            self.cache = self.cache.with_table(table)
+        toks, tids, tvals, cvals, self._dev_logits, self.cache = \
+            scheduler_loop(
+                self._st, self.model.weights, self.cache,
+                self._dev_logits, self._put1(start_pos),
+                self._put2(forced), self._put3(cids), H)
+        return (self._host(toks), self._host(tids),
+                self._host(tvals).astype(np.float32),
+                self._host(cvals).astype(np.float32))
+
+    def _dev_release(self, row: int, pages=None, table=None) -> None:
+        """Blank a freed row's cache positions (and, paged, install the
+        post-release page table) so the next owner starts masked-out."""
+        import dataclasses
+
+        if self._mh is not None:
+            self._mh(OP_S_RELEASE, (np.asarray([row], np.int32),
+                                    None if pages is None
+                                    else np.asarray(pages, np.int32), table))
+        if self.paged:
+            pos = self.cache.positions
+            if pages is not None and len(pages):
+                pos = pos.at[jnp.asarray(pages, jnp.int32)].set(-1)
+            self.cache = dataclasses.replace(
+                self.cache, positions=pos,
+                page_table=jnp.asarray(table, jnp.int32))
+        else:
+            self.cache = kvc.KVCache(
+                self.cache.k, self.cache.v,
+                self.cache.positions.at[row].set(-1),
+                self.cache.k_scale, self.cache.v_scale,
+            )
 
     def _shard_cache_and_io(self) -> None:
         """Lay the KV store and step inputs out over the model's mesh.
@@ -387,8 +504,7 @@ class ContinuousBatchingScheduler:
         is gone (reference batch semantics: per-token logit-request masks,
         Session.cpp:380-392)."""
         with self.metrics.timer("prefill"):
-            if self.paged:
-                self.cache = self.cache.with_table(self._alloc.tables)
+            first_table = self._alloc.tables if self.paged else None
             chunk = 256
             todo = {b: (tokens, flat) for b, tokens, flat, _ in jobs}
             accept = {b: a for b, _, _, a in jobs}
@@ -418,10 +534,13 @@ class ContinuousBatchingScheduler:
                     else:
                         sl[b, :n] = np.arange(slot.num_past, slot.num_past + n)
                     li[b] = n - 1
-                logits, self.cache = self._step(
-                    self.model.weights, self._put2(toks), self._put2(pos),
-                    self._put2(sl), self.cache, self._put1(li),
-                )
+                finishing = [b for b, part in parts.items()
+                             if off[b] + len(part) >= len(todo[b][0])]
+                logits = self._dev_step(
+                    toks, pos, sl, li, table=first_table,
+                    capture=finishing if self.horizon > 1 else (),
+                    pull=bool(finishing))
+                first_table = None
                 for b, part in parts.items():
                     slot = self._slots[b]
                     slot.num_past += len(part)
@@ -433,11 +552,8 @@ class ContinuousBatchingScheduler:
                         # this chunk ended the row's prompt: its last-token
                         # logits are this dispatch's row (per-row index)
                         if self.horizon > 1:
-                            if self._dev_logits is None:
-                                self._dev_logits = jnp.zeros_like(logits)
-                            self._dev_logits = self._dev_logits.at[b].set(logits[b])
                             self._stale_dev.discard(b)
-                        slot.last_logits = np.asarray(logits[b]).astype(np.float32)
+                        slot.last_logits = logits[b].astype(np.float32)
                         self._stale_host.discard(b)
                         del todo[b]
         self.metrics.tokens_prefilled += sum(len(t) for _, t, _, _ in jobs)
@@ -468,7 +584,7 @@ class ContinuousBatchingScheduler:
         if self._stale_host:
             # rows last decoded by the horizon loop: refresh their host
             # logits before host-side sampling resumes (mode transition)
-            host = np.asarray(self._dev_logits).astype(np.float32)
+            host = self._dev_pull()
             for b in list(self._stale_host):
                 if self._slots[b].request is not None or self._slots[b].verify is not None:
                     self._slots[b].last_logits = host[b]
@@ -526,13 +642,10 @@ class ContinuousBatchingScheduler:
                         sl[b, 0] = slot.num_past
                     toks[b, 0] = slot.pending_token
                     pos[b, 0] = slot.num_past
-            if self.paged:
-                self.cache = self.cache.with_table(self._alloc.tables)
-            logits, self.cache = self._step(
-                self.model.weights, self._put2(toks), self._put2(pos),
-                self._put2(sl), self.cache, self._li0,
-            )
-            logits_host = np.asarray(logits).astype(np.float32)
+            logits = self._dev_step(
+                toks, pos, sl, np.zeros((self.B,), np.int32),
+                table=self._alloc.tables if self.paged else None)
+            logits_host = logits.astype(np.float32)
             if self.horizon > 1:
                 self._stale_dev.update(
                     b for b in active if self._slots[b].pending_token >= 0)
@@ -566,17 +679,16 @@ class ContinuousBatchingScheduler:
         verify rows; ops/generate_loop.scheduler_loop). Only small per-step
         outputs (tokens, top-10, claimed-id values) cross the host boundary;
         the [B, V] logits stay on device between horizons."""
-        from ..ops.generate_loop import scheduler_loop
         from ..runtime.verify import LogitComparer
 
         H = self.horizon
-        if self._dev_logits is None:
-            self._dev_logits = self._put2(jnp.zeros(
-                (self.B, self.model.config.n_vocab), jnp.float32))
-        for b in list(self._stale_dev):  # per-token -> horizon transition
-            if self._slots[b].last_logits is not None:
-                self._dev_logits = self._dev_logits.at[b].set(
-                    jnp.asarray(self._slots[b].last_logits))
+        sync_rows = [b for b in sorted(self._stale_dev)  # per-token -> horizon
+                     if self._slots[b].last_logits is not None]
+        self._dev_sync(sync_rows,
+                       np.stack([self._slots[b].last_logits
+                                 for b in sync_rows])
+                       if sync_rows else
+                       np.zeros((0, self.model.config.n_vocab), np.float32))
         self._stale_dev.clear()
 
         # plan step counts first; under paged KV clamp by what the pool can
@@ -636,19 +748,10 @@ class ContinuousBatchingScheduler:
                     cids[b, i, : len(ids)] = ids
             else:
                 forced[b, : plan[b]] = -1  # device argmax
-        if self.paged:
-            self.cache = self.cache.with_table(self._alloc.tables)
-
         with self.metrics.timer("decode_step"):
-            toks, tids, tvals, cvals, self._dev_logits, self.cache = \
-                scheduler_loop(
-                    self._st, self.model.weights, self.cache,
-                    self._dev_logits, self._put1(start_pos),
-                    self._put2(forced), self._put3(cids), H)
-            toks = np.asarray(toks)
-            tids = np.asarray(tids)
-            tvals = np.asarray(tvals, dtype=np.float32)
-            cvals = np.asarray(cvals, dtype=np.float32)
+            toks, tids, tvals, cvals = self._dev_horizon(
+                start_pos, forced, cids, H,
+                table=self._alloc.tables if self.paged else None)
 
         for b in active:
             slot = self._slots[b]
@@ -758,21 +861,10 @@ class ContinuousBatchingScheduler:
         """Free a row's cache state (paged: release the pages and blank
         their pool positions so the next owner starts masked-out)."""
         if self.paged:
-            import dataclasses
-
             pages = self._alloc.free_row(row)
-            pos = self.cache.positions
-            if pages:
-                pos = pos.at[jnp.asarray(pages, jnp.int32)].set(-1)
-            self.cache = dataclasses.replace(
-                self.cache, positions=pos,
-                page_table=jnp.asarray(self._alloc.tables, jnp.int32))
+            self._dev_release(row, pages=pages, table=self._alloc.tables)
         else:
-            self.cache = kvc.KVCache(
-                self.cache.k, self.cache.v,
-                self.cache.positions.at[row].set(-1),
-                self.cache.k_scale, self.cache.v_scale,
-            )
+            self._dev_release(row)
 
     def _finish(self, row: int) -> None:
         slot = self._slots[row]

@@ -39,6 +39,13 @@ def main() -> None:
     from blama_tpu.runtime.session import CompleteParams, SessionInitParams
     from blama_tpu.runtime.verify import LogitComparer, MetricsAggregator
 
+    if mode == "sched":
+        # continuous batching under jax.distributed (VERDICT r4 #5): host 0
+        # runs the scheduler + sampling and broadcasts each device dispatch;
+        # the follower replays them (SchedulerHostLoop). Two concurrent
+        # requests + a teacher-forced verify row, paged pool + horizon mode.
+        _sched_mode(gguf, mesh, out_path)
+        return
     if mode == "quant":
         model = Model(gguf, ModelParams(dtype="q4k_a8", mesh=mesh,
                                         tp_blocks=4))
@@ -73,6 +80,62 @@ def main() -> None:
             json.dump({"tokens": [p.token for p in preds],
                        "score": score,
                        "n_processes": jax.process_count()}, f)
+    else:
+        loop.follow()
+    model.close()
+
+
+def _sched_mode(gguf: str, mesh, out_path: str) -> None:
+    import threading
+
+    from blama_tpu.parallel import multihost as mh
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.server.scheduler import (ContinuousBatchingScheduler,
+                                            GenRequest, VerifyRequest)
+
+    model = Model(gguf, ModelParams(mesh=mesh))
+    sched = ContinuousBatchingScheduler(
+        model, max_batch=2, ctx_size=64, paged=True, page_size=8,
+        horizon=4)
+    loop = mh.SchedulerHostLoop(sched)
+    if mh.is_primary():
+        prompts = ["hello world", "the quick brown"]
+        results = {}
+        done = threading.Event()
+
+        def on_done(i):
+            def cb(preds):
+                results[i] = preds
+                if len(results) == len(prompts):
+                    done.set()
+            return cb
+
+        loop.start()
+        for i, p in enumerate(prompts):
+            sched.submit(GenRequest(
+                prompt=model.vocab.tokenize(p, True, True), max_tokens=6,
+                on_done=on_done(i)))
+        assert done.wait(timeout=300)
+
+        # teacher-forced replay of request 0 through the SAME multihost
+        # scheduler: same engine + same mesh => bit-exact, score 1.0
+        score = {}
+        vdone = threading.Event()
+
+        def on_score(s):
+            score["s"] = s
+            vdone.set()
+
+        sched.submit(VerifyRequest(
+            prompt=model.vocab.tokenize(prompts[0], True, True),
+            predictions=results[0], on_done=on_score))
+        assert vdone.wait(timeout=300)
+        loop.stop()
+        with open(out_path, "w") as f:
+            json.dump({"tokens": [[p.token for p in results[i]]
+                                  for i in range(len(prompts))],
+                       "score": score["s"],
+                       "n_processes": __import__("jax").process_count()}, f)
     else:
         loop.follow()
     model.close()

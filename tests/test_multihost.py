@@ -80,6 +80,68 @@ def test_two_process_serve_and_verify(gguf, tmp_path):
     assert result["tokens"] == _single_process_tokens(gguf)
 
 
+def test_two_process_scheduler(gguf, tmp_path):
+    """Continuous batching across 2 jax.distributed processes (VERDICT r4
+    #5): host 0 runs ContinuousBatchingScheduler (paged pool + horizon mode)
+    over the global tp=2 mesh, broadcasting every device dispatch via
+    SchedulerHostLoop; host 1 replays them. Two concurrent requests complete;
+    a teacher-forced verify row replays request 0 at score 1.0; the tokens
+    match the same scheduler config single-process."""
+    port = _free_port()
+    out = str(tmp_path / "result.json")
+    env = {**os.environ, "PYTHONPATH": ROOT,
+           "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+    worker = os.path.join(ROOT, "tests", "multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), gguf, out,
+             "sched"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=540) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, (
+            f"proc rc={p.returncode}\nstdout:\n{so.decode()[-2000:]}\n"
+            f"stderr:\n{se.decode()[-4000:]}")
+    with open(out) as f:
+        result = json.load(f)
+    assert result["n_processes"] == 2
+    assert result["score"] == 1.0  # same-engine replay: bit-exact top-10
+
+    # the multihost scheduler must agree with the same scheduler config
+    # run in ONE process (no mesh): same admission order, same greedy rows
+    import threading
+
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.server.scheduler import (ContinuousBatchingScheduler,
+                                            GenRequest)
+
+    m = Model(gguf, ModelParams())
+    sched = ContinuousBatchingScheduler(
+        m, max_batch=2, ctx_size=64, paged=True, page_size=8, horizon=4)
+    results = {}
+    done = threading.Event()
+
+    def on_done(i):
+        def cb(preds):
+            results[i] = preds
+            if len(results) == 2:
+                done.set()
+        return cb
+
+    sched.start()
+    for i, p in enumerate(["hello world", "the quick brown"]):
+        sched.submit(GenRequest(prompt=m.vocab.tokenize(p, True, True),
+                                max_tokens=6, on_done=on_done(i)))
+    assert done.wait(timeout=300)
+    sched.stop()
+    m.close()
+    solo = [[p.token for p in results[i]] for i in range(2)]
+    assert result["tokens"] == solo
+
+
 def test_host_loop_failure_policy(gguf, monkeypatch):
     """A failing engine step on host 0 broadcasts OP_CLEAR (resync) and
     re-raises — the documented failure policy. Single-process: broadcasts
