@@ -32,6 +32,12 @@ from ..ops.pallas.quant_matmul import (
 from ..ops.rope import apply_rope, rope_angles
 from .config import ModelConfig
 
+import os as _os
+
+# perf-bound probe: skip every KV-cache write in the stacked decode body
+# (results are WRONG — measurement only, tools/trace_step companions)
+_PROBE_NO_KVWRITE = _os.environ.get("BLAMA_PROBE_NO_KVWRITE", "0") == "1"
+
 
 def _act(name: str):
     if name == "silu":
@@ -617,7 +623,9 @@ def forward(
         v = v.reshape(B, T, Hkv, D)
         q = apply_rope(q, positions, rope_dim, freq_base, interleaved,
                        cos_sin=q_rope)
-        if ks_all is not None:
+        if _PROBE_NO_KVWRITE:
+            pass  # perf bound probe: skip all cache writes (WRONG results)
+        elif ks_all is not None:
             k_codes, k_sc = quantize_kv(k)
             v_codes, v_sc = quantize_kv(v)
             k_all = k_all.at[li, barange, slots].set(
@@ -656,13 +664,103 @@ def forward(
             x = x + p["cvec"]
         return x, k_all, v_all, ks_all, vs_all
 
+    def layer_fn_paged_stacked(x, p, li, k_all, v_all, ks_t, vs_t, flat):
+        """T==1 fused paged-attention decode body on the STACKED MERGED pool
+        ([L, P, G, Hkv*D]; scales transposed [L, P, Hkv, G]): token writes
+        are direct scatters into the stacked arrays and the paged kernel
+        reads its layer in place — the per-layer slice + set-back pattern
+        the sliced loop pays (2 pool copies per layer per step) is the bulk
+        of the paged-vs-dense serving gap (VERDICT r4 #7). Arithmetic
+        mirrors layer_fn exactly (same kernels, same per-page block order),
+        so logits are bit-identical to the sliced paged path."""
+        B, T, E = x.shape
+        tpb = getattr(cfg, "tp_blocks", 0)
+        G = k_all.shape[2]
+        h = norm(x, p["attn_norm"])
+        if "wqkv" in p:
+            qkv = qmm_nblocked(h, p["wqkv"], tpb)
+            q, k, v = jnp.split(qkv, [H * D, H * D + Hkv * D], axis=-1)
+        else:
+            q = qmm_nblocked(h, p["wq"], tpb)
+            k = qmm_nblocked(h, p["wk"], tpb)
+            v = qmm_nblocked(h, p["wv"], tpb)
+        if "bq" in p:
+            q = q + p["bq"]
+            k = k + p["bk"]
+            v = v + p["bv"]
+        q = q.reshape(B, T, H, D)
+        k = k.reshape(B, T, Hkv, D)
+        v = v.reshape(B, T, Hkv, D)
+        q = apply_rope(q, positions, rope_dim, freq_base, interleaved,
+                       cos_sin=q_rope)
+        pg, gi = flat // G, flat % G                    # [B] page / in-page
+        if ks_t is not None:
+            k_codes, k_sc = quantize_kv(k)
+            v_codes, v_sc = quantize_kv(v)
+            k_all = k_all.at[li, pg, gi].set(
+                k_codes.reshape(B, Hkv * D), mode="drop")
+            v_all = v_all.at[li, pg, gi].set(
+                v_codes.reshape(B, Hkv * D), mode="drop")
+            ks_t = ks_t.at[li, pg, :, gi].set(k_sc.reshape(B, Hkv),
+                                              mode="drop")
+            vs_t = vs_t.at[li, pg, :, gi].set(v_sc.reshape(B, Hkv),
+                                              mode="drop")
+        else:
+            k_all = k_all.at[li, pg, gi].set(
+                k.reshape(B, Hkv * D), mode="drop")
+            v_all = v_all.at[li, pg, gi].set(
+                v.reshape(B, Hkv * D), mode="drop")
+        attn = pattn.paged_decode_attention(
+            q, k_all, v_all, new_positions, cache.page_table,
+            positions[:, 0], inv_freq_e,
+            k_scale=ks_t, v_scale=vs_t, mscale=rope_mscale, layer=li)
+        x = x + qmm_blocked(attn.reshape(B, T, H * D), p["wo"], tpb)
+        h2 = norm(x, p["ffn_norm"])
+        if "wgu" in p:
+            gu = qmm_nblocked(h2, p["wgu"], tpb)
+            gate, up = jnp.split(gu, 2, axis=-1)
+            x = x + qmm_blocked(act(gate) * up, p["w_down"], tpb)
+        else:
+            gate = act(qmm_nblocked(h2, p["w_gate"], tpb))
+            x = x + qmm_blocked(gate * qmm_nblocked(h2, p["w_up"], tpb),
+                                p["w_down"], tpb)
+        if "cvec" in p:
+            x = x + p["cvec"]
+        return x, k_all, v_all, ks_t, vs_t
+
     if isinstance(params["layers"], (list, tuple)):
         # unrolled layer loop (quantized modes): per-layer weights stay
         # separate arrays so Pallas kernels read packed codes in place —
         # no scan-slice copies (see load_llama_params)
         k_all, v_all = cache.k, cache.v
         ks_all, vs_all = cache.k_scale, cache.v_scale
-        if use_fused_attn and not paged:
+        if (use_fused_attn and paged and _mesh is None
+                and tokens.shape[1] == 1):
+            # stacked paged decode: merge the pool [L, P, G, Hkv*D] and
+            # transpose scales [L, P, Hkv, G] for in-place layer reads.
+            # Fast loops carry both PRE-TRANSFORMED across steps
+            # (_fused_merge); a solo step transforms here (the scale
+            # transpose is a real relayout — once per step, not per layer).
+            L_ = k_all.shape[0]
+            G_ = k_all.shape[2]
+            premerged = k_all.ndim == 4
+            if not premerged:
+                k_all = k_all.reshape(L_, -1, G_, Hkv * D)
+                v_all = v_all.reshape(L_, -1, G_, Hkv * D)
+                if ks_all is not None:
+                    ks_all = jnp.swapaxes(ks_all, 2, 3)
+                    vs_all = jnp.swapaxes(vs_all, 2, 3)
+            flat = slots.reshape(-1)
+            for li_, p_ in enumerate(params["layers"]):
+                x, k_all, v_all, ks_all, vs_all = layer_fn_paged_stacked(
+                    x, p_, li_, k_all, v_all, ks_all, vs_all, flat)
+            if not premerged:
+                k_all = k_all.reshape(L_, -1, G_, Hkv, D)
+                v_all = v_all.reshape(L_, -1, G_, Hkv, D)
+                if ks_all is not None:
+                    ks_all = jnp.swapaxes(ks_all, 2, 3)
+                    vs_all = jnp.swapaxes(vs_all, 2, 3)
+        elif use_fused_attn and not paged:
             # keep the stacked cache MERGED [L, B, S, Hkv*D] for the whole
             # loop: dense descending layouts make these reshapes bitcasts,
             # and the merged minor dims tile (32, 128) for int8 — a 5-D

@@ -26,22 +26,46 @@ from .kv_cache import KVCache
 
 
 def _fused_merge(st, params, cache):
-    """Pre-merge a dense stacked cache to [L, B, S, Hkv*D] for the loop.
+    """Pre-merge a stacked cache for the loop's in-place fused attention.
 
-    The unrolled fused-attention forward reads/writes the cache merged; if
-    the scan carry stays 5-D, XLA's while-carry layout turns the per-step
-    merge into a full-cache relayout copy (~0.5 ms/step at 8B/S=2048 —
-    device trace round 4). Merging once before the scan (a bitcast at the
-    jit boundary: the input layout is descending) and unmerging after makes
-    the in-loop reshapes disappear. Returns (cache, (Hkv, D) | None)."""
+    Dense: [L, B, S, Hkv, D] → [L, B, S, Hkv*D]. The unrolled
+    fused-attention forward reads/writes the cache merged; if the scan
+    carry stays 5-D, XLA's while-carry layout turns the per-step merge into
+    a full-cache relayout copy (~0.5 ms/step at 8B/S=2048 — device trace
+    round 4). Merging once before the scan (a bitcast at the jit boundary:
+    the input layout is descending) and unmerging after makes the in-loop
+    reshapes disappear.
+
+    Paged: pool [L, P, G, Hkv, D] → [L, P, G, Hkv*D] AND scales
+    [L, P, G, Hkv] → [L, P, Hkv, G] (a real relayout — once per loop, so
+    the per-layer-per-step swapaxes copies the sliced paged path paid
+    disappear; VERDICT r4 #7). Returns (cache, token | None)."""
     import dataclasses
 
     from . import paged_kv as pkv
+    from .pallas import paged_attention as pattn
 
-    if (getattr(st, "attn_fused", False)
-            and isinstance(params.get("layers"), (list, tuple))
-            and not isinstance(cache, pkv.PagedKVCache)
-            and cache.k.ndim == 5):
+    if not (getattr(st, "attn_fused", False)
+            and isinstance(params.get("layers"), (list, tuple))):
+        return cache, None
+    if isinstance(cache, pkv.PagedKVCache):
+        if cache.k.ndim != 5 or getattr(st, "mesh", None) is not None:
+            return cache, None
+        L, P, G, Hkv, D = cache.k.shape
+        yarn = getattr(st, "yarn", None)
+        # mirror forward's paged use_fused_attn gate exactly — a merged
+        # carry reaching the sliced fallback loop is a trace-time error
+        if (not pattn.supports(G, D, cache.k.dtype) or not st.causal
+                or (yarn is not None and st.rope_dim < st.head_dim)):
+            return cache, None
+        return dataclasses.replace(
+            cache, k=cache.k.reshape(L, P, G, Hkv * D),
+            v=cache.v.reshape(L, P, G, Hkv * D),
+            k_scale=None if cache.k_scale is None
+            else jnp.swapaxes(cache.k_scale, 2, 3),
+            v_scale=None if cache.v_scale is None
+            else jnp.swapaxes(cache.v_scale, 2, 3)), ("paged", Hkv, D)
+    if cache.k.ndim == 5:
         L, B, S, Hkv, D = cache.k.shape
         # merge ONLY when forward's own T==1 decode gate will take the
         # fused kernel at this geometry — otherwise the unrolled fallback
@@ -80,6 +104,16 @@ def _fused_unmerge(cache, hd):
 
     if hd is None:
         return cache
+    if hd[0] == "paged":
+        _, Hkv, D = hd
+        L, P, G, _ = cache.k.shape
+        return dataclasses.replace(
+            cache, k=cache.k.reshape(L, P, G, Hkv, D),
+            v=cache.v.reshape(L, P, G, Hkv, D),
+            k_scale=None if cache.k_scale is None
+            else jnp.swapaxes(cache.k_scale, 2, 3),
+            v_scale=None if cache.v_scale is None
+            else jnp.swapaxes(cache.v_scale, 2, 3))
     Hkv, D = hd
     L, B, S, _ = cache.k.shape
     return dataclasses.replace(

@@ -70,11 +70,23 @@ def _page_update(
     q_ref, k_refs, v_refs, posr_refs, posc_refs, qpos_ref, invf_ref,
     ks_refs, vs_refs, acc_ref, m_ref, l_ref, pt_ref,
     *, n_kv_head, group, head_dim, scale, quantized, block_t,
+    stacked=False,
 ):
     """Online-softmax update for one logical page (page-slot j of this grid
-    step) — the per-page body shared by decode (block_t=0) and prefill."""
+    step) — the per-page body shared by decode (block_t=0) and prefill.
+
+    `stacked`: the k/v/scale refs carry a leading layer dim (the pool stays
+    the whole stacked [L, P, G, Hkv*D] array and the block specs index the
+    layer directly — no per-layer slice/set-back copies, mirroring
+    decode_attention's stacked mode)."""
     D = head_dim
-    k_ref, v_ref = k_refs[j], v_refs[j]
+    if stacked:
+        k_ref = k_refs[j].at[0]
+        v_ref = v_refs[j].at[0]
+        ks_refs = [r.at[0] for r in ks_refs] if ks_refs is not None else None
+        vs_refs = [r.at[0] for r in vs_refs] if vs_refs is not None else None
+    else:
+        k_ref, v_ref = k_refs[j], v_refs[j]
     posr_ref, posc_ref = posr_refs[j], posc_refs[j]
 
     # rope angles for this page, shared by all kv heads
@@ -152,6 +164,7 @@ def _paged_attn_kernel(
     block_t: int,  # 0 = decode (T==1), else prefill T-block
     page_batch: int,
     qpos_in_vmem: bool,  # prefill: qpos rides VMEM, not scalar prefetch
+    stacked: bool = False,  # k/v/scale refs carry a leading layer dim
 ):
     pb = page_batch
     refs = list(page_and_rest_refs)
@@ -184,6 +197,7 @@ def _paged_attn_kernel(
             qpos_ref, invf_ref, ks_refs, vs_refs, acc_ref, m_ref, l_ref,
             pt_ref, n_kv_head=n_kv_head, group=group, head_dim=head_dim,
             scale=scale, quantized=quantized, block_t=block_t,
+            stacked=stacked,
         )
 
     @pl.when(ns == num_s - 1)
@@ -201,18 +215,28 @@ def _paged_attn_kernel(
                     out.reshape(block_t, group * head_dim))
 
 
-@partial(jax.jit, static_argnames=("scale", "interpret"))
+@partial(jax.jit, static_argnames=("scale", "interpret", "layer"))
 def _paged_decode_call(page_table, q, kp, vp, pos_r, pos_c, q_pos, inv_freq_e,
-                       ks, vs, scale: float, interpret: bool):
+                       ks, vs, scale: float, interpret: bool,
+                       layer: int | None = None):
+    """layer != None: kp/vp are the STACKED MERGED [L, P, G, Hkv*D] pool (and
+    ks/vs the stacked transposed [L, P, Hkv, G] scales); the block specs
+    index the layer directly — no per-layer slice materialization (an XLA
+    kp[layer] costs a slice copy in AND a set-back copy out per layer per
+    step; the dense stacked path measured ~0.5 ms/step of these at 8B)."""
     B, H, D = q.shape
-    P, G = kp.shape[0], kp.shape[1]
-    Hkv = kp.shape[2] // D
+    stacked = layer is not None
+    P, G = (kp.shape[1], kp.shape[2]) if stacked else (kp.shape[0], kp.shape[1])
+    Hkv = kp.shape[-1] // D
     group = H // Hkv
     MP = page_table.shape[1]
     pb = _pick_page_batch(MP)
     quantized = ks is not None
 
     def page(j):
+        if stacked:
+            return lambda b, n, pt, qp, li=layer: (
+                li, jnp.maximum(pt[b, n * pb + j], 0), 0, 0)
         return lambda b, n, pt, qp: (jnp.maximum(pt[b, n * pb + j], 0), 0, 0)
 
     def posr(j):
@@ -221,17 +245,18 @@ def _paged_decode_call(page_table, q, kp, vp, pos_r, pos_c, q_pos, inv_freq_e,
     def posc(j):
         return lambda b, n, pt, qp: (jnp.maximum(pt[b, n * pb + j], 0), 0)
 
+    kv_blk = (1, 1, G, Hkv * D) if stacked else (1, G, Hkv * D)
     in_specs = [
         pl.BlockSpec((1, H, D), lambda b, n, pt, qp: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [q]
     for j in range(pb):
-        in_specs.append(pl.BlockSpec((1, G, Hkv * D), page(j),
+        in_specs.append(pl.BlockSpec(kv_blk, page(j),
                                      memory_space=pltpu.VMEM))
         args.append(kp)
     for j in range(pb):
-        in_specs.append(pl.BlockSpec((1, G, Hkv * D), page(j),
+        in_specs.append(pl.BlockSpec(kv_blk, page(j),
                                      memory_space=pltpu.VMEM))
         args.append(vp)
     # positions in both layouts ([1, P*G] rows for the mask, [P*G, 1]
@@ -248,12 +273,13 @@ def _paged_decode_call(page_table, q, kp, vp, pos_r, pos_c, q_pos, inv_freq_e,
                                  memory_space=pltpu.VMEM))
     args.append(inv_freq_e)
     if quantized:
+        sc_blk = (1, 1, Hkv, G) if stacked else (1, Hkv, G)
         for j in range(pb):
-            in_specs.append(pl.BlockSpec((1, Hkv, G), page(j),
+            in_specs.append(pl.BlockSpec(sc_blk, page(j),
                                          memory_space=pltpu.VMEM))
             args.append(ks)
         for j in range(pb):
-            in_specs.append(pl.BlockSpec((1, Hkv, G), page(j),
+            in_specs.append(pl.BlockSpec(sc_blk, page(j),
                                          memory_space=pltpu.VMEM))
             args.append(vs)
 
@@ -264,7 +290,7 @@ def _paged_decode_call(page_table, q, kp, vp, pos_r, pos_c, q_pos, inv_freq_e,
         _paged_attn_kernel,
         n_kv_head=Hkv, group=group, head_dim=D,
         scale=scale, quantized=quantized, block_t=0, page_batch=pb,
-        qpos_in_vmem=False,
+        qpos_in_vmem=False, stacked=stacked,
     )
 
     n_kv_operands = 4 * pb  # k, v, posr, posc groups
@@ -310,25 +336,39 @@ def paged_decode_attention(
     v_scale: jnp.ndarray | None = None,
     logit_scale: float | None = None,
     mscale: float = 1.0,
+    layer: int | None = None,
 ) -> jnp.ndarray:
-    """Fused single-token paged attention; returns [B, 1, H, D] in q.dtype."""
+    """Fused single-token paged attention; returns [B, 1, H, D] in q.dtype.
+
+    With `layer` set, k_pool/v_pool are the full stacked pool in the MERGED
+    [L, P, G, Hkv*D] shape and k_scale/v_scale the stacked TRANSPOSED
+    [L, P, Hkv, G] scales (the loop carries both across steps — see
+    ops/generate_loop._fused_merge); the kernel reads layer `layer` in
+    place with no per-layer slice/relayout copies."""
     B, T, H, D = q.shape
     assert T == 1, "paged_decode_attention is the T==1 fast path"
-    P, G, Hkv = k_pool.shape[0], k_pool.shape[1], k_pool.shape[2]
     scale = (logit_scale if logit_scale is not None else 1.0 / (D ** 0.5)) * mscale
 
-    kp = k_pool.reshape(P, G, Hkv * D)
-    vp = v_pool.reshape(P, G, Hkv * D)
+    if layer is not None:
+        P, G = k_pool.shape[1], k_pool.shape[2]
+        kp, vp, ks, vs = k_pool, v_pool, k_scale, v_scale
+        assert ks is None or ks.shape[-1] == G, (ks.shape, G)
+    else:
+        P, G = k_pool.shape[0], k_pool.shape[1]
+        Hkv = k_pool.shape[2]
+        kp = k_pool.reshape(P, G, -1)
+        vp = v_pool.reshape(P, G, -1)
+        ks = vs = None
+        if k_scale is not None:
+            ks = jnp.swapaxes(k_scale, 1, 2)  # [P, Hkv, G]
+            vs = jnp.swapaxes(v_scale, 1, 2)
     pos_r = pool_pos.reshape(1, P * G)   # row layout (mask)
     pos_c = pool_pos.reshape(P * G, 1)   # column layout (rope angles)
-    ks = vs = None
-    if k_scale is not None:
-        ks = jnp.swapaxes(k_scale, 1, 2)  # [P, Hkv, G]
-        vs = jnp.swapaxes(v_scale, 1, 2)
     out = _paged_decode_call(
         page_table, q.reshape(B, H, D), kp, vp, pos_r, pos_c,
         q_pos.reshape(B, 1), inv_freq_e.reshape(1, D), ks, vs,
         scale=float(scale), interpret=jax.default_backend() == "cpu",
+        layer=layer,
     )
     return out.reshape(B, 1, H, D)
 

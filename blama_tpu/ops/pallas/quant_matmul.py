@@ -589,12 +589,15 @@ def _quant_kernel_call(flat: jnp.ndarray, w) -> jnp.ndarray:
             # v5e sweep (tools/autotune_a8s, round 3): layer shapes run
             # fastest with the min correction folded in-kernel at a 4096
             # lane block (wgu 644→736, down 625→717 GB/s vs the r2
-            # default, minus one XLA dot+sub per call); the wide lm head
-            # prefers the unfolded kernel at 2048 (820 vs 698 GB/s).
+            # default, minus one XLA dot+sub per call). The wide lm head
+            # runs the in-kernel-prologue xin variant at a 2048 lane block
+            # (round-5 sweep /tmp-style A/B at the 8B head shape: 757 GB/s
+            # vs 721 unfolded / 716 folded) — B > 1 falls back to fold
+            # inside w4a8_swar_xin.
             if w.codes.shape[1] >= 65536:
                 if _A8S_FOLD_HEAD:
                     return w4a8_swar_fold(flat, w, 2048)
-                return w4a8_swar_matmul(flat, w)
+                return w4a8_swar_xin(flat, w, 2048)
             # default: in-kernel activation quantization (bit-identical to
             # w4a8_swar_fold, no XLA prologue glue — BENCH_LOCAL round 3)
             if _A8S_PROLOGUE == "xla":

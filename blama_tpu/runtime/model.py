@@ -126,16 +126,20 @@ class Model:
             else:
                 from ..models.llama import load_llama_params
 
-                # fuse qkv/gate-up dispatches for plain unsharded serving;
-                # tp_blocks (verification) modes keep the unfused layout so
-                # solo and sharded engines share identical arithmetic
+                # BLAMA_FUSE_PROJ=1 fuses qkv/gate-up into single wide
+                # dispatches. Default OFF: at 8B decode the wide wqkv
+                # operand's VMEM staging stalls cost more than the extra
+                # dispatches save (122.0 vs 112.8 tok/s, round-5 trace);
+                # tp_blocks (verification) modes always keep the unfused
+                # layout so solo and sharded engines share identical
+                # arithmetic
                 import os as _os
 
                 w = load_llama_params(
                     self.reader, self.config, dtype, fused_quant=fused,
                     fuse_proj=bool(fused) and self.params.mesh is None
                     and self.config.tp_blocks == 0
-                    and _os.environ.get("BLAMA_FUSE_PROJ", "1") != "0")
+                    and _os.environ.get("BLAMA_FUSE_PROJ", "0") == "1")
         elif arch == "gpt2":
             from ..models.gpt2 import load_gpt2_params
 

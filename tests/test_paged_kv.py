@@ -572,3 +572,47 @@ def test_sharded_fused_kernels_actually_dispatch(quant_paged_gguf, monkeypatch):
             m.close()
     assert calls["dense"] > 0, "dense sharded fused kernel never dispatched"
     assert calls["paged"] > 0, "paged sharded fused kernel never dispatched"
+
+
+def test_paged_horizon_stacked_pool_matches_per_token(quant_paged_gguf,
+                                                      monkeypatch):
+    """Horizon mode carries the paged pool MERGED ([L, P, G, Hkv*D], scales
+    transposed) across scheduler_loop and the kernel reads each layer in
+    place (paged analog of the dense pre-merged carry; VERDICT r4 #7).
+    Greedy streams must equal the per-token paged scheduler's, and the
+    stacked kernel (layer=...) must actually dispatch."""
+    from blama_tpu.ops.pallas import paged_attention as pattn
+
+    layers_seen = []
+    real = pattn.paged_decode_attention
+
+    def spy(*a, **kw):
+        layers_seen.append(kw.get("layer"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pattn, "paged_decode_attention", spy)
+
+    def run(horizon):
+        m = Model(quant_paged_gguf, ModelParams(dtype="q4k_a8", attn="fused"))
+        try:
+            sched = ContinuousBatchingScheduler(
+                m, max_batch=2, ctx_size=256, paged=True, page_size=128,
+                horizon=horizon)
+            outs = {}
+            for i, p in enumerate(["hello world", "the cat sat"]):
+                sched.submit(GenRequest(
+                    prompt=m.vocab.tokenize(p, True, True), max_tokens=6,
+                    sampler_params=SamplerParams(temp=0.0),
+                    on_done=lambda g, i=i: outs.__setitem__(
+                        i, [x.token for x in g])))
+            sched.run_until_idle()
+            return [outs[i] for i in range(2)]
+        finally:
+            m.close()
+
+    per_token = run(0)
+    layers_seen.clear()
+    horizon = run(4)
+    assert horizon == per_token
+    # the stacked in-place path dispatched for every layer
+    assert set(x for x in layers_seen if x is not None) == {0, 1}, layers_seen
