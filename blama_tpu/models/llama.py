@@ -306,6 +306,13 @@ class LlamaStatic:
     # Pallas fused decode attention (single-pass flash over the KV cache with
     # in-kernel rope + INT8 dequant) for T==1 steps; prefill stays XLA.
     attn_fused: bool = False
+    # fold the KV quantize + cache-row write INTO the fused decode kernel
+    # (aliased outputs; scales carried transposed [L, B, Hkv, S] across the
+    # loop). Set by the fast loops (ops/generate_loop) for the dense stacked
+    # unsharded path — the XLA write path spends ~0.45 ms/step at 8B in
+    # dynamic-update-slices + quantize fusions + scale transposes (round-5
+    # no-write probe: 126.7 -> 134.4 tok/s ceiling).
+    attn_write: bool = False
     # device mesh (hashable) — enables the per-head shard_map island around
     # the fused decode kernel (decode_attention_sharded)
     mesh: object = None
@@ -443,6 +450,14 @@ def forward(
             and dattn.prefill_supports(tokens.shape[1], cache.n_slots, D,
                                        cache.k.dtype, tokens.shape[0])
         )
+    # in-kernel KV write (ops/generate_loop flips st.attn_write when it
+    # pre-merged the cache AND pre-transposed the scales for this mode)
+    use_fused_write = (
+        use_fused_attn and not paged and _mesh is None
+        and getattr(cfg, "attn_write", False)
+        and dattn.write_supports(cache.n_slots, D, cache.k.dtype,
+                                 tokens.shape[0])
+    )
     if use_fused_attn or use_fused_prefill:
         inv_freq_e, rope_mscale = dattn.effective_inv_freq(
             rope_dim, D, freq_base, rs, yarn=yarn, freq_factors=ff)
@@ -623,6 +638,31 @@ def forward(
         v = v.reshape(B, T, Hkv, D)
         q = apply_rope(q, positions, rope_dim, freq_base, interleaved,
                        cos_sin=q_rope)
+        if use_fused_write:
+            # quantize + cache-row write + this step's attention in ONE
+            # kernel (aliased outputs; scales carried [L, B, Hkv, S]) —
+            # value-identical to the XLA write-then-read path below
+            attn, k_all, v_all, ks_all, vs_all = \
+                dattn.decode_attention_write(
+                    q, k_all, v_all, positions[:, 0], new_positions,
+                    inv_freq_e, k.reshape(B, Hkv * D), v.reshape(B, Hkv * D),
+                    slots.reshape(-1), li, k_scale=ks_all, v_scale=vs_all,
+                    mscale=rope_mscale)
+            x = x + qmm_blocked(attn.reshape(B, T, H * D), p["wo"], tpb)
+            ffn_nw = (norm_stack[2 * li + 1] if norm_stack is not None
+                      else p["ffn_norm"])
+            h2 = norm(x, ffn_nw)
+            if "wgu" in p:
+                gu = qmm_nblocked(h2, p["wgu"], tpb)
+                gate, up = jnp.split(gu, 2, axis=-1)
+                x = x + qmm_blocked(act(gate) * up, p["w_down"], tpb)
+            else:
+                gate = act(qmm_nblocked(h2, p["w_gate"], tpb))
+                x = x + qmm_blocked(gate * qmm_nblocked(h2, p["w_up"], tpb),
+                                    p["w_down"], tpb)
+            if "cvec" in p:
+                x = x + p["cvec"]
+            return x, k_all, v_all, ks_all, vs_all
         if _PROBE_NO_KVWRITE:
             pass  # perf bound probe: skip all cache writes (WRONG results)
         elif ks_all is not None:

@@ -21,8 +21,20 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+import os as _os
+
 from ..models import llama as llama_mod
 from .kv_cache import KVCache
+
+# BLAMA_ATTN_WRITE=1: fold the KV quantize + cache-row writes into the fused
+# decode attention kernel. The write kernel itself is cheap (+0.05 ms/step
+# at 8B) and removes ~0.45 ms of XLA write glue, but with it enabled the
+# NEIGHBORING matmul kernels slow ~13% (device trace round 5: xin 5.94 ->
+# 6.65 ms/step — the cache aliasing appears to degrade XLA's scheduling
+# around the pallas call), a net loss. OFF by default until that
+# interaction is solved; the kernel stays bit-exact vs the XLA write path
+# (tests) for future rounds.
+_WRITE_IN_KERNEL = _os.environ.get("BLAMA_ATTN_WRITE", "0") == "1"
 
 
 def _fused_merge(st, params, cache):
@@ -73,9 +85,24 @@ def _fused_merge(st, params, cache):
         # carry is a trace-time shape error (ADVICE r4 medium).
         if not _decode_fused_ok(st, S, D, cache.k.dtype, B):
             return cache, None
-        return dataclasses.replace(
+        merged = dataclasses.replace(
             cache, k=cache.k.reshape(L, B, S, Hkv * D),
-            v=cache.v.reshape(L, B, S, Hkv * D)), (Hkv, D)
+            v=cache.v.reshape(L, B, S, Hkv * D))
+        from .pallas import decode_attention as dattn
+
+        if (_WRITE_IN_KERNEL and getattr(st, "mesh", None) is None
+                and hasattr(st, "attn_write")
+                and dattn.write_supports(S, D, cache.k.dtype, B)):
+            # in-kernel KV write mode: scales carried TRANSPOSED
+            # [L, B, Hkv, S] (one relayout per loop instead of per layer
+            # per step); callers flip st.attn_write on this token.
+            return dataclasses.replace(
+                merged,
+                k_scale=None if cache.k_scale is None
+                else jnp.swapaxes(cache.k_scale, 2, 3),
+                v_scale=None if cache.v_scale is None
+                else jnp.swapaxes(cache.v_scale, 2, 3)), ("write", Hkv, D)
+        return merged, (Hkv, D)
     return cache, None
 
 
@@ -99,11 +126,30 @@ def _decode_fused_ok(st, S: int, D: int, kv_dtype, B: int) -> bool:
     return dattn.supports(S, D, kv_dtype, b_local)
 
 
+def _st_for(st, hd):
+    """Upgrade the static config for the loop body per the merge token."""
+    import dataclasses
+
+    if hd is not None and hd[0] == "write":
+        return dataclasses.replace(st, attn_write=True)
+    return st
+
+
 def _fused_unmerge(cache, hd):
     import dataclasses
 
     if hd is None:
         return cache
+    if hd[0] == "write":
+        _, Hkv, D = hd
+        L, B, S, _ = cache.k.shape
+        return dataclasses.replace(
+            cache, k=cache.k.reshape(L, B, S, Hkv, D),
+            v=cache.v.reshape(L, B, S, Hkv, D),
+            k_scale=None if cache.k_scale is None
+            else jnp.swapaxes(cache.k_scale, 2, 3),
+            v_scale=None if cache.v_scale is None
+            else jnp.swapaxes(cache.v_scale, 2, 3))
     if hd[0] == "paged":
         _, Hkv, D = hd
         L, P, G, _ = cache.k.shape
@@ -156,6 +202,7 @@ def greedy_generate(
 
     logits, cache = fwd(params, st, prompt_tokens, positions, slots, cache, li)
     cache, _hd = _fused_merge(st, params, cache)
+    st = _st_for(st, _hd)
 
     def body(carry, _):
         cache, logits, pos = carry
@@ -211,6 +258,7 @@ def scheduler_loop(
     fwd = _forward_for(st)
     B = logits0.shape[0]
     cache, _hd = _fused_merge(st, params, cache)
+    st = _st_for(st, _hd)
     paged = isinstance(cache, pkv.PagedKVCache)
     if paged:
         G = cache.page_size
@@ -267,6 +315,7 @@ def teacher_forced(
     B, n = tokens.shape
     fwd = _forward_for(st)
     cache, _hd = _fused_merge(st, params, cache)
+    st = _st_for(st, _hd)
 
     def body(carry, tok):
         cache, pos = carry
@@ -301,6 +350,7 @@ def continue_greedy(
     B = logits0.shape[0]
     fwd = _forward_for(st)
     cache, _hd = _fused_merge(st, params, cache)
+    st = _st_for(st, _hd)
 
     def body(carry, _):
         cache, logits, pos = carry

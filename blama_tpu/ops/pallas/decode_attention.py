@@ -448,6 +448,329 @@ def _call(q, k2, v2, kv_pos, q_pos, inv_freq_e, k_scale, v_scale,
     )(*args)
 
 
+def _decode_attn_write_kernel(
+    slot_ref,    # [B] int32 scalar prefetch — cache row this step writes
+    q_ref,       # [1, H, D]  rotated query
+    k_ref,       # [1, 1, BS/32, 32, Hkv*D] stacked cache block (stored dtype)
+    v_ref,       # [1, 1, BS/32, 32, Hkv*D]
+    posr_ref,    # [1, BS] int32 slot positions (row layout, mask)
+    posc_ref,    # [BS, 1] int32 slot positions (column layout, rope)
+    qpos_ref,    # [B, 1] int32 (whole-array SMEM)
+    invf_ref,    # [1, D] f32
+    *rest_refs,
+    n_kv_head: int,
+    group: int,
+    head_dim: int,
+    scale: float,
+    quantized: bool,
+):
+    """Fused decode attention WITH the token's KV quantize + cache write.
+
+    The XLA write path (quantize_kv + 4 dynamic-update-slices + per-layer
+    scale transposes) costs ~0.45 ms/step at 8B (round-5 no-write probe);
+    here the fresh K/V row rides in as an operand, is quantized in-kernel
+    (bit-identical formula to ops/kv_cache.quantize_kv), written to the
+    cache through ALIASED row outputs, and injected into this step's
+    attention in-register — value-for-value what write-then-read computed,
+    in the same block order, so logits are bit-identical to the XLA-write
+    path. Scales are carried TRANSPOSED [L, B, Hkv, S] by the fast loops
+    and written back read-modify-write per block (cheap: [Hkv, BS] f32).
+
+    Pad rows (slot >= S, e.g. idle scheduler rows) clamp to row S-1: the
+    garbage write is never read because the row's position stays -1 (the
+    XLA-side position scatter drops out-of-range indices) and every read
+    masks on position >= 0."""
+    if quantized:
+        (ks_ref, vs_ref, kn_ref, vn_ref, out_ref, ko_ref, vo_ref,
+         kso_ref, vso_ref, acc_ref, m_ref, l_ref) = rest_refs
+    else:
+        (kn_ref, vn_ref, out_ref, ko_ref, vo_ref,
+         acc_ref, m_ref, l_ref) = rest_refs
+    ns = pl.program_id(1)
+    num_s = pl.num_programs(1)
+    D = head_dim
+    Hkv = n_kv_head
+
+    @pl.when(ns == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # fresh-token quantize (exact quantize_kv formula, per (token, head))
+    kn = kn_ref[0:1, :].astype(jnp.float32).reshape(Hkv, D)
+    vn = vn_ref[0:1, :].astype(jnp.float32).reshape(Hkv, D)
+    if quantized:
+        def q8(mat):
+            amax = jnp.max(jnp.abs(mat), axis=-1, keepdims=True)  # [Hkv, 1]
+            sc = amax / 127.0
+            inv = jnp.where(sc > 0, 1.0 / jnp.where(sc > 0, sc, 1.0), 0.0)
+            return jnp.round(mat * inv), sc
+        kq, k_sc = q8(kn)
+        vq, v_sc = q8(vn)
+    else:
+        kq, vq = kn, vn
+
+    bs = posc_ref.shape[0]
+    b = pl.program_id(0)
+    slot = slot_ref[b]
+    S_total = bs * num_s
+    # pads (slot >= S) clamp to the last row's GROUP and write identity
+    slot_c = jnp.minimum(slot, S_total - 1)
+    slot_local = slot - ns * bs
+    slot_local_c = slot_c - ns * bs
+    in_block = (slot_local >= 0) & (slot_local < bs)
+    valid = slot < S_total
+
+    # cache-row writes: the cache rides as [L, B, S/32, 32, Hkv*D] — the
+    # 32-row group is the int8 (32, 128) native tile, so the view changes
+    # NOTHING about the streamed blocks' DMA (an 8-row view padded the
+    # int8 minor tile 4x and cost more than the XLA writes it replaced) —
+    # and the write RMWs the group containing the slot. The fresh row is
+    # PATCHED into the streamed VMEM block first, so the per-head reads
+    # (and the group writeback) see exactly what write-then-read would
+    # have. Pad rows (valid == False) patch nothing, so the clamped group
+    # writeback is identity. The out block index is constant over ns; the
+    # single in-block write survives to the one writeback at the b
+    # boundary.
+    @pl.when((slot_local_c >= 0) & (slot_local_c < bs))
+    def _patch_and_write():
+        grp = slot_local_c // 32
+        row32 = jax.lax.broadcasted_iota(jnp.int32, (32, Hkv * D), 0)
+        hit32 = (row32 == slot_c % 32) & valid
+        k_grp = jnp.where(
+            hit32, kq.reshape(1, Hkv * D).astype(k_ref.dtype),
+            k_ref[0, 0, pl.dslice(grp, 1), :, :].reshape(32, Hkv * D))
+        v_grp = jnp.where(
+            hit32, vq.reshape(1, Hkv * D).astype(v_ref.dtype),
+            v_ref[0, 0, pl.dslice(grp, 1), :, :].reshape(32, Hkv * D))
+        # patch the streamed VMEM block (group-aligned store — Mosaic
+        # forbids dynamic sublane-row stores)
+        k_ref[0, 0, pl.dslice(grp, 1), :, :] = k_grp.reshape(1, 32, Hkv * D)
+        v_ref[0, 0, pl.dslice(grp, 1), :, :] = v_grp.reshape(1, 32, Hkv * D)
+        ko_ref[0, 0, 0] = k_grp
+        vo_ref[0, 0, 0] = v_grp
+
+    lane_hit = (jax.lax.broadcasted_iota(jnp.int32, (Hkv, bs), 1)
+                == slot_local) & in_block
+    if quantized:
+        # scale blocks: read-modify-write (fresh column where this block
+        # holds the slot, copy-through otherwise)
+        ks_blk = jnp.where(lane_hit, jnp.broadcast_to(k_sc, (Hkv, bs)),
+                           ks_ref[0, 0])
+        vs_blk = jnp.where(lane_hit, jnp.broadcast_to(v_sc, (Hkv, bs)),
+                           vs_ref[0, 0])
+        kso_ref[0, 0] = ks_blk
+        vso_ref[0, 0] = vs_blk
+
+    # rope angles for this sequence block, shared by all kv heads
+    pos_col = posc_ref[:, 0:1]                              # [BS, 1]
+    theta = pos_col.astype(jnp.float32) * invf_ref[0:1, :]  # [BS, D]
+    cos = jnp.cos(theta)
+    sin = jnp.sin(theta)
+    even = jax.lax.broadcasted_iota(jnp.int32, (bs, D), 1) % 2 == 0
+    sin_signed = jnp.where(even, -sin, sin)
+
+    qpos = qpos_ref[b, 0]
+    pos_row = posr_ref[0:1, :]                              # [1, BS]
+    mask_row = (pos_row >= 0) & (pos_row <= qpos)           # [1, BS]
+
+    for h in range(n_kv_head):
+        r0, r1 = h * group, (h + 1) * group
+        kf = k_ref[0, 0, :, :, h * D:(h + 1) * D].astype(
+            jnp.float32).reshape(bs, D)
+        k_rot = kf * cos + _swap_pairs(kf, even) * sin_signed
+        qh = q_ref[0, r0:r1, :].astype(jnp.float32)               # [g, D]
+        scores = jax.lax.dot_general(
+            qh, k_rot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                                  # [g, BS]
+        if quantized:
+            scores = scores * ks_blk[h:h + 1, :]                  # fold K scale
+        scores = jnp.where(mask_row, scores, NEG_INF)
+
+        m_prev = m_ref[r0:r1, 0:1]
+        l_prev = l_ref[r0:r1, 0:1]
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)           # [g, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        e = jnp.exp(scores - m_new)
+        e = jnp.where(mask_row, e, 0.0)
+        l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
+        if quantized:
+            e = e * vs_blk[h:h + 1, :]                            # fold V scale
+        vf = v_ref[0, 0, :, :, h * D:(h + 1) * D].astype(
+            jnp.float32).reshape(bs, D)
+        pv = jax.lax.dot_general(
+            e, vf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[r0:r1, :] = acc_ref[r0:r1, :] * alpha + pv
+        m_ref[r0:r1, :] = jnp.broadcast_to(m_new, (group, m_ref.shape[1]))
+        l_ref[r0:r1, :] = jnp.broadcast_to(l_new, (group, l_ref.shape[1]))
+
+    @pl.when(ns == num_s - 1)
+    def _finalize():
+        denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
+        out_ref[0] = (acc_ref[:] / denom).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("scale", "interpret", "layer"))
+def _call_write(q, k2, v2, kv_pos, q_pos, inv_freq_e, ks_t, vs_t,
+                k_new, v_new, slot, scale: float, interpret: bool,
+                layer: int):
+    """Write-mode dispatch: k2/v2 are the stacked MERGED [L, B, S, Hkv*D]
+    cache, ks_t/vs_t the stacked TRANSPOSED [L, B, Hkv, S] scales; returns
+    (attn_out, k2', v2', ks_t', vs_t') with the cache arrays updated
+    in-place via input_output_aliases."""
+    B, H, D = q.shape
+    L = k2.shape[0]
+    S = k2.shape[2]
+    Hkv = k2.shape[3] // D
+    group = H // Hkv
+    quantized = ks_t is not None
+    block_s = _pick_block_s(S, jnp.dtype(k2.dtype).itemsize, B)
+    grid = (B, S // block_s)
+    nsb = S // block_s
+
+    # Single cache rows can't be written in the [.., S, Hkv*D] tiling
+    # (Mosaic block-dim rules), so the cache rides as
+    # [L, B, S/32, 32, Hkv*D] — a free view whose (32, Hkv*D) minor dims
+    # are exact multiples of every dtype's native tile, so the streamed
+    # blocks' DMA is unchanged — and the kernel RMWs the 32-row group
+    # containing the slot.
+    k5 = k2.reshape(L, B, S // 32, 32, Hkv * D)
+    v5 = v2.reshape(L, B, S // 32, 32, Hkv * D)
+    kspec = pl.BlockSpec((1, 1, block_s // 32, 32, Hkv * D),
+                         lambda b, n, sl, li=layer: (li, b, n, 0, 0),
+                         memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec(
+        (1, 1, 1, 32, Hkv * D),
+        lambda b, n, sl, li=layer: (
+            li, b, jnp.minimum(sl[b], S - 1) // 32, 0, 0),
+        memory_space=pltpu.VMEM)
+    scspec = pl.BlockSpec((1, 1, Hkv, block_s),
+                          lambda b, n, sl, li=layer: (li, b, 0, n),
+                          memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, H, D), lambda b, n, sl: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        kspec,
+        kspec,
+        pl.BlockSpec((1, block_s), lambda b, n, sl: (0, b * nsb + n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_s, 1), lambda b, n, sl: (b * nsb + n, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, D), lambda b, n, sl: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k5, v5, kv_pos.reshape(1, B * S), kv_pos.reshape(B * S, 1),
+            q_pos, inv_freq_e]
+    if quantized:
+        in_specs += [scspec, scspec]
+        args += [ks_t, vs_t]
+    nspec = pl.BlockSpec((1, Hkv * D), lambda b, n, sl: (b, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs += [nspec, nspec]
+    args += [k_new, v_new]
+
+    out_specs = [
+        pl.BlockSpec((1, H, D), lambda b, n, sl: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        rowspec,
+        rowspec,
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        jax.ShapeDtypeStruct(k5.shape, k5.dtype),
+        jax.ShapeDtypeStruct(v5.shape, v5.dtype),
+    ]
+    # aliases count the scalar-prefetch operand (slot) as input 0
+    aliases = {2: 1, 3: 2}
+    if quantized:
+        out_specs += [scspec, scspec]
+        out_shapes += [jax.ShapeDtypeStruct(ks_t.shape, ks_t.dtype),
+                       jax.ShapeDtypeStruct(vs_t.shape, vs_t.dtype)]
+        aliases[8] = 3
+        aliases[9] = 4
+
+    kernel = partial(
+        _decode_attn_write_kernel,
+        n_kv_head=Hkv, group=group, head_dim=D,
+        scale=scale, quantized=quantized,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((H, D), jnp.float32),
+            pltpu.VMEM((H, 128), jnp.float32),
+            pltpu.VMEM((H, 128), jnp.float32),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(slot, *args)
+    k_out = outs[1].reshape(k2.shape)
+    v_out = outs[2].reshape(v2.shape)
+    if quantized:
+        return outs[0], k_out, v_out, outs[3], outs[4]
+    return outs[0], k_out, v_out, None, None
+
+
+def decode_attention_write(
+    q: jnp.ndarray,          # [B, 1, H, D] rotated query
+    k_cache: jnp.ndarray,    # [L, B, S, Hkv*D] stacked MERGED cache
+    v_cache: jnp.ndarray,
+    q_pos: jnp.ndarray,      # [B] int32
+    kv_pos: jnp.ndarray,     # [B, S] int32 (already includes this token)
+    inv_freq_e: jnp.ndarray,  # [head_dim] f32
+    k_new: jnp.ndarray,      # [B, Hkv*D] fresh (unrotated) K, x dtype
+    v_new: jnp.ndarray,      # [B, Hkv*D]
+    slot: jnp.ndarray,       # [B] int32 cache row to write (>= S: pad row)
+    layer: int,
+    k_scale: jnp.ndarray | None = None,  # [L, B, Hkv, S] TRANSPOSED scales
+    v_scale: jnp.ndarray | None = None,
+    logit_scale: float | None = None,
+    mscale: float = 1.0,
+):
+    """Fused decode attention + in-kernel KV quantize/write (see
+    _decode_attn_write_kernel). Returns (attn [B, 1, H, D], k_cache',
+    v_cache', k_scale', v_scale')."""
+    B, T, H, D = q.shape
+    assert T == 1
+    scale = (logit_scale if logit_scale is not None else 1.0 / (D ** 0.5)) * mscale
+    out, k2, v2, ks, vs = _call_write(
+        q.reshape(B, H, D), k_cache, v_cache, kv_pos,
+        q_pos.reshape(B, 1), inv_freq_e.reshape(1, D), k_scale, v_scale,
+        k_new, v_new, slot.astype(jnp.int32),
+        scale=float(scale), interpret=jax.default_backend() == "cpu",
+        layer=layer,
+    )
+    return out.reshape(B, 1, H, D), k2, v2, ks, vs
+
+
+def write_supports(S: int, head_dim: int, k_dtype, batch: int = 1) -> bool:
+    """Whether the write-mode kernel serves this geometry: the base kernel's
+    gate plus the 128-lane reshape the in-kernel quantize needs, the 8-row
+    group view, and a block size the group view can tile."""
+    if not (supports(S, head_dim, k_dtype, batch) and head_dim % 128 == 0
+            and S % 32 == 0):
+        return False
+    bs = _pick_block_s(S, jnp.dtype(k_dtype).itemsize, batch)
+    return bs is not None and bs % 32 == 0
+
+
 def decode_attention(
     q: jnp.ndarray,          # [B, 1, H, D] rotated query (one decode token)
     k_cache: jnp.ndarray,    # [B, S, Hkv, D] unrotated (bf16/f32 or int8 codes)

@@ -419,3 +419,55 @@ def test_matches_per_layer_stacked_int8_kv():
                                invf, k_scale=ks_stacked, v_scale=vs_stacked,
                                mscale=ms, layer=i)
         np.testing.assert_array_equal(np.asarray(out), per[i])
+
+
+def test_write_kernel_bitexact_vs_xla_write(tmp_path):
+    """Opt-in in-kernel KV write (BLAMA_ATTN_WRITE): the fast greedy loop
+    with the write kernel produces bit-identical top-10 logits AND cache
+    contents (codes + scales) to the XLA write-then-read session path, for
+    int8 and bf16 KV. (Off by default in round 5 — enabling it slowed the
+    neighboring matmul kernels on hardware — but the kernel must stay
+    value-exact for future rounds.)"""
+    import numpy as np
+
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.ops import generate_loop as gl
+    from blama_tpu.runtime.instance import Instance, InstanceInitParams
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.runtime.session import CompleteParams, SessionInitParams
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "wk.gguf")
+    write_tiny_llama(p, GGMLType.Q4_K,
+                     spec=dict(n_layer=2, n_embd=1024, n_ff=2048,
+                               n_head=8, n_head_kv=4))
+
+    def run(fast, kv, write):
+        prev = gl._WRITE_IN_KERNEL
+        gl._WRITE_IN_KERNEL = write
+        try:
+            m = Model(p, ModelParams(dtype="q4k_a8", attn="fused"))
+            inst = Instance(m, InstanceInitParams(
+                ctx_size=256, kv_dtype=kv, flash_attn=True,
+                fast_greedy=fast))
+            s = inst.start_session(SessionInitParams(seed=5, temperature=0.0))
+            s.set_initial_prompt(
+                m.vocab.tokenize("hello world this is", True, True))
+            preds = s.complete(CompleteParams(max_tokens=8))
+            out = [(x.token, tuple((l.token, l.logit) for l in x.logits))
+                   for x in preds]
+            ck = np.asarray(inst.cache.k)
+            cs = (None if inst.cache.k_scale is None
+                  else np.asarray(inst.cache.k_scale))
+            inst.stop_session()
+            m.close()
+            return out, ck, cs
+        finally:
+            gl._WRITE_IN_KERNEL = prev
+
+    for kv in ("int8", "bfloat16"):
+        fast, ck_f, cs_f = run(True, kv, write=True)
+        slow, ck_s, cs_s = run(False, kv, write=False)
+        assert fast == slow
+        assert np.array_equal(ck_f, ck_s)
+        assert cs_f is None or np.array_equal(cs_f, cs_s)

@@ -616,3 +616,55 @@ def test_scheduler_dp_tp_mesh(quant_gguf_sched):
         assert batched == solo
     finally:
         m1.close()
+
+
+def test_horizon_write_kernel_idle_rows(tmp_path):
+    """Dense horizon scheduling on a write-kernel-eligible geometry
+    (D=128, fused attention): the in-kernel KV write clamps idle rows'
+    pad slot (S) to the last row GROUP and writes identity, so a row going
+    idle mid-horizon cannot corrupt a neighbor. Streams must match the
+    per-token scheduler; the write kernel must actually dispatch."""
+    from blama_tpu.gguf import GGMLType
+    from blama_tpu.ops import generate_loop as gl
+    from blama_tpu.ops.pallas import decode_attention as dattn
+    from blama_tpu.runtime.model import Model, ModelParams
+    from blama_tpu.testing import write_tiny_llama
+
+    p = str(tmp_path / "wk.gguf")
+    write_tiny_llama(p, GGMLType.Q4_K,
+                     spec=dict(n_layer=2, n_embd=1024, n_ff=2048,
+                               n_head=8, n_head_kv=4))
+    calls = []
+    real = dattn.decode_attention_write
+    dattn.decode_attention_write = (
+        lambda *a, **kw: (calls.append(1), real(*a, **kw))[1])
+    gl_prev = gl._WRITE_IN_KERNEL
+    gl._WRITE_IN_KERNEL = True  # opt-in mode (off by default, round 5)
+    try:
+        def run(horizon):
+            m = Model(p, ModelParams(dtype="q4k_a8", attn="fused"))
+            try:
+                sched = ContinuousBatchingScheduler(
+                    m, max_batch=2, ctx_size=256, horizon=horizon)
+                outs = {}
+                # max_tokens 3 vs 9: row 0 idles while row 1 keeps decoding
+                for i, (pr, n) in enumerate([("hello world", 3),
+                                             ("the cat sat on", 9)]):
+                    sched.submit(GenRequest(
+                        prompt=m.vocab.tokenize(pr, True, True),
+                        max_tokens=n, sampler_params=greedy_params(),
+                        on_done=lambda g, i=i: outs.__setitem__(
+                            i, [x.token for x in g])))
+                sched.run_until_idle()
+                return [outs[i] for i in range(2)]
+            finally:
+                m.close()
+
+        per_token = run(0)
+        calls.clear()
+        horizon = run(4)
+        assert horizon == per_token
+        assert calls, "write kernel never dispatched"
+    finally:
+        dattn.decode_attention_write = real
+        gl._WRITE_IN_KERNEL = gl_prev
