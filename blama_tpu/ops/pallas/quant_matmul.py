@@ -509,6 +509,11 @@ class ShardedQuant:
 # Column chunks for the pipelined k-shard reduce (compute/collective
 # overlap). 4 chunks ≈ 3/4 of the ICI time hidden at steady state.
 _K_PSUM_CHUNKS = 4
+# BLAMA_FUSED_COLLECTIVE=1 replaces the chunked-psum reduce of the k-sharded
+# matmuls with the in-kernel remote-DMA all-reduce (ops/pallas/collectives).
+# Read once at import (participates in traced code — see probe-flag note in
+# decode_attention.py).
+_FUSED_COLLECTIVE = os.environ.get("BLAMA_FUSED_COLLECTIVE", "0") == "1"
 
 
 def _split_cols(w, nc: int):
@@ -550,6 +555,29 @@ def _qmm_sharded(x: jnp.ndarray, w: ShardedQuant, pinned: bool = False) -> jnp.n
         x_spec = P(None, tp)
         w_specs = [P(tp, None) for _ in leaves]            # all [K/«», N_pad]
         out_spec = P(None, None)
+
+        if _FUSED_COLLECTIVE:
+            # in-kernel ICI collective (ops/pallas/collectives): the local
+            # partial's transfers to every peer fly as concurrent remote
+            # DMAs inside ONE Pallas kernel, accumulated in fixed device
+            # order — bit-identical on every device and across runs. An
+            # engine MODE (numerics differ from psum's internal order):
+            # prover and verifier select it together, like fused attention.
+            from .collectives import fused_all_reduce
+
+            tp_size = w.mesh.shape[tp]
+
+            def f(xl, *wl):
+                partial = _quant_kernel_call(xl, treedef.unflatten(wl))
+                return fused_all_reduce(
+                    partial, tp, tp_size,
+                    interpret=jax.default_backend() == "cpu")
+
+            out = jax.shard_map(
+                f, mesh=w.mesh, in_specs=(x_spec, *w_specs),
+                out_specs=out_spec, check_vma=False,
+            )(flat, *leaves)
+            return out[:, : w.n_out].reshape(*lead, -1).astype(x.dtype)
 
         def f(xl, *wl):
             # Software-pipelined reduce (north star: ICI collectives
