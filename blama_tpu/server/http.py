@@ -261,9 +261,53 @@ def main() -> None:
     def progress(p: float) -> None:
         print(f"\rloading model: {p * 100:5.1f}%", end="", flush=True)
 
-    model = Model(model_path, progress_cb=progress)
+    # BLAMA_MULTIHOST=1: multi-process SPMD serving — every process joins
+    # jax.distributed and holds a shard of the global (dp, tp) mesh; host 0
+    # owns HTTP + the continuous-batching scheduler and broadcasts each
+    # device dispatch, followers replay them (SchedulerHostLoop). Requires
+    # BLAMA_SCHEDULER > 0. Coordination: BLAMA_COORD=host:port +
+    # BLAMA_NPROC + BLAMA_PROC_ID, or unset for TPU-pod autodetection.
+    mh_mode = os.environ.get("BLAMA_MULTIHOST", "0") == "1"
+    mesh = None
+    if mh_mode:
+        from ..parallel import multihost as mh
+        from ..runtime.model import ModelParams
+
+        nproc = os.environ.get("BLAMA_NPROC")
+        pid = os.environ.get("BLAMA_PROC_ID")
+        mh.initialize(os.environ.get("BLAMA_COORD"),
+                      int(nproc) if nproc else None,
+                      int(pid) if pid else None)
+        mesh = mh.global_mesh(dp=int(os.environ.get("BLAMA_DP", "1")))
+        print(f"multihost: process {mh.is_primary() and 'PRIMARY' or 'follower'}"
+              f" mesh={dict(mesh.shape)}")
+        dtype = os.environ.get("BLAMA_DTYPE", "bfloat16")
+        model = Model(model_path, ModelParams(dtype=dtype, mesh=mesh),
+                      progress_cb=progress)
+    else:
+        model = Model(model_path, progress_cb=progress)
     print()
     sched_batch = int(os.environ.get("BLAMA_SCHEDULER", "0"))
+    if mh_mode:
+        if sched_batch <= 0:
+            raise SystemExit("BLAMA_MULTIHOST requires BLAMA_SCHEDULER > 0")
+        from ..parallel import multihost as mh
+
+        if not mh.is_primary():
+            # follower: replay host 0's scheduler dispatches until stop
+            from .scheduler import ContinuousBatchingScheduler
+
+            paged = os.environ.get("BLAMA_PAGED_KV", "0") == "1"
+            sched = ContinuousBatchingScheduler(
+                model, max_batch=sched_batch,
+                ctx_size=model.config.n_ctx_train, paged=paged,
+                n_pages=int(os.environ.get("BLAMA_KV_PAGES", "0")),
+                horizon=int(os.environ.get("BLAMA_HORIZON", "8")))
+            loop = mh.SchedulerHostLoop(sched)
+            print("follower: replaying scheduler dispatches")
+            loop.follow()
+            model.close()
+            return
     if sched_batch > 0:
         from .scheduler_server import SchedulerServer
 
@@ -278,9 +322,11 @@ def main() -> None:
         paged = os.environ.get("BLAMA_PAGED_KV", "0") == "1"
         api = SchedulerServer(model, max_batch=sched_batch, paged=paged,
                               horizon=int(os.environ.get("BLAMA_HORIZON", "8")),
-                              n_pages=int(os.environ.get("BLAMA_KV_PAGES", "0")))
+                              n_pages=int(os.environ.get("BLAMA_KV_PAGES", "0")),
+                              multihost=mh_mode)
         print(f"continuous batching enabled (max_batch={sched_batch}"
-              f"{', paged KV' if paged else ''})")
+              f"{', paged KV' if paged else ''}"
+              f"{', multihost' if mh_mode else ''})")
     else:
         api = Server(model)
     srv = HttpServer(

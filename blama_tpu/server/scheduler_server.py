@@ -33,16 +33,30 @@ class SchedulerServer(Server):
 
     def __init__(self, model: Model, instance_params: InstanceInitParams | None = None,
                  max_batch: int = 8, paged: bool = False, n_pages: int = 0,
-                 horizon: int = 0):
-        super().__init__(model, instance_params)
+                 horizon: int = 0, multihost: bool = False):
+        # multihost: every device op must be a broadcast-replayed scheduler
+        # dispatch (parallel/multihost.SchedulerHostLoop), so the solo
+        # Instance is skipped and the scheduler thread starts through the
+        # host loop on host 0.
+        super().__init__(model, instance_params, create_instance=not multihost)
         ctx = (instance_params.ctx_size if instance_params else 0) or model.config.n_ctx_train
         self.scheduler = ContinuousBatchingScheduler(
             model, max_batch=max_batch, ctx_size=ctx, paged=paged,
             n_pages=n_pages, horizon=horizon)
-        self.scheduler.start()
+        self.host_loop = None
+        if multihost:
+            from ..parallel.multihost import SchedulerHostLoop
+
+            self.host_loop = SchedulerHostLoop(self.scheduler)
+            self.host_loop.start()
+        else:
+            self.scheduler.start()
 
     def close(self) -> None:
-        self.scheduler.stop()
+        if self.host_loop is not None:
+            self.host_loop.stop()
+        else:
+            self.scheduler.stop()
         super().close()
 
     def metrics_snapshot(self) -> dict:

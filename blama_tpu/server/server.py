@@ -82,10 +82,18 @@ class CompleteResponse(list):
 
 
 class Server:
-    def __init__(self, model: Model, instance_params: InstanceInitParams | None = None):
+    def __init__(self, model: Model, instance_params: InstanceInitParams | None = None,
+                 create_instance: bool = True):
         self._model = model
-        self._instance = Instance(model, instance_params or InstanceInitParams())
-        self._instance.warmup()
+        # create_instance=False: multihost scheduler serving — every device
+        # op must be a broadcast-replayed scheduler dispatch, so the solo
+        # Instance (whose warmup would run SPMD steps host-0-only and hang
+        # the global mesh) is skipped; SchedulerServer routes every
+        # endpoint through the scheduler.
+        self._instance = (Instance(model, instance_params or InstanceInitParams())
+                          if create_instance else None)
+        if self._instance is not None:
+            self._instance.warmup()
         self._queue: queue.Queue[Callable[[], None] | None] = queue.Queue()
         self.metrics = Metrics()
         self._worker = threading.Thread(target=self._run, name="blama-inference", daemon=True)

@@ -220,3 +220,62 @@ def test_two_process_quantized_70b_shaped(tmp_path):
     inst.stop_session()
     m.close()
     assert result["tokens"] == solo
+
+
+def test_two_process_http_serving(gguf, tmp_path):
+    """The full serving topology (north star): host 0 runs the HTTP server +
+    continuous-batching scheduler over the global tp=2 mesh and broadcasts
+    every device dispatch; host 1 replays them. A /complete then
+    /verify_completion round trip through real HTTP scores 1.0."""
+    import json as _json
+    import time
+    import urllib.request
+
+    port = _free_port()
+    http_port = _free_port()
+    env_base = {**os.environ, "PYTHONPATH": ROOT, "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+                "BLAMA_MULTIHOST": "1", "BLAMA_SCHEDULER": "2",
+                "BLAMA_HORIZON": "4", "BLAMA_MODEL": gguf,
+                "BLAMA_COORD": f"127.0.0.1:{port}", "BLAMA_NPROC": "2",
+                "BLAMA_PORT": str(http_port), "BLAMA_HOST": "127.0.0.1"}
+    worker = os.path.join(ROOT, "tests", "http_multihost_worker.py")
+    procs = [
+        subprocess.Popen([sys.executable, worker],
+                         env={**env_base, "BLAMA_PROC_ID": str(i)},
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(2)
+    ]
+    try:
+        resp = None
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if any(p.poll() is not None for p in procs):
+                break
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{http_port}/complete",
+                    _json.dumps({"prompt": "hello world",
+                                 "max_tokens": 6}).encode())
+                resp = _json.load(urllib.request.urlopen(req, timeout=30))
+                break
+            except Exception:
+                time.sleep(2.0)
+        assert resp is not None and len(resp["tokenData"]) > 0, [
+            (p.poll(), p.stderr.read().decode()[-1500:] if p.poll() is not None else "")
+            for p in procs]
+        vreq = urllib.request.Request(
+            f"http://127.0.0.1:{http_port}/verify_completion",
+            _json.dumps({"request": {"prompt": "hello world",
+                                     "max_tokens": 6},
+                         "response": resp}).encode())
+        score = _json.load(urllib.request.urlopen(vreq, timeout=120))
+        assert score["result"] == 1.0
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
