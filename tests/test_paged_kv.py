@@ -616,3 +616,86 @@ def test_paged_horizon_stacked_pool_matches_per_token(quant_paged_gguf,
     assert horizon == per_token
     # the stacked in-place path dispatched for every layer
     assert set(x for x in layers_seen if x is not None) == {0, 1}, layers_seen
+
+
+def test_paged_pool_contention_stress(model):
+    """Threaded stress of the PAGED scheduler under pool oversubscription —
+    the regime both round-4 ADVICE-high crashes lived in (resume admission
+    sized by prompt only; horizon planning ignoring same-plan page draws).
+    Producer threads race submits of mixed-size requests against a pool far
+    smaller than the aggregate demand while a saboteur cancels; every
+    request must reach a terminal state exactly once with a legal
+    finish_reason, the scheduler thread must survive (no assert death /
+    deadlock), and the pool must drain back to fully free."""
+    import random
+    import threading
+    import time
+
+    for horizon in (0, 3):
+        sched = ContinuousBatchingScheduler(
+            model, max_batch=3, ctx_size=512, paged=True, page_size=32,
+            n_pages=10, horizon=horizon)  # 10 pages << 3 rows x 16 pages
+        sched.start()
+        try:
+            lock = threading.Lock()
+            done = {}
+            requests = []
+
+            def producer(t):
+                rng = random.Random(1000 + t)
+                for i in range(5):
+                    key = (t, i)
+                    # mix: small prompts that decode long (cross pages,
+                    # force preempt/resume), and mid prompts near the
+                    # admission edge; max_tokens large enough to contend
+                    n_prompt = rng.choice([3, 20, 40, 90])
+                    req = GenRequest(
+                        prompt=list(range(5, 5 + n_prompt)),
+                        max_tokens=rng.choice([4, 30, 80]),
+                        sampler_params=SamplerParams(temp=0.0),
+                        on_done=lambda g, key=key: _mark(key))
+                    with lock:
+                        done.setdefault(key, 0)
+                        requests.append(req)
+                    sched.submit(req)
+                    time.sleep(rng.random() * 0.005)
+
+            def _mark(key):
+                with lock:
+                    done[key] += 1
+
+            threads = [threading.Thread(target=producer, args=(t,))
+                       for t in range(3)]
+            for th in threads:
+                th.start()
+            sab = random.Random(7)
+            deadline = time.time() + 120
+            for th in threads:
+                th.join(timeout=60)
+            while time.time() < deadline:
+                with lock:
+                    snap = list(requests)
+                for req in snap:
+                    if sab.random() < 0.15:
+                        ContinuousBatchingScheduler.cancel(req)
+                with lock:
+                    if (len(done) == 15
+                            and all(v == 1 for v in done.values())):
+                        break
+                # a dead worker thread would hang here forever without this
+                assert sched._thread.is_alive(), \
+                    "scheduler thread died under paged contention"
+                time.sleep(0.05)
+            with lock:
+                assert len(done) == 15 and all(
+                    v == 1 for v in done.values()), done
+            for req in requests:
+                assert req.finish_reason in (
+                    "stop", "length", "evicted", "cancelled", "rejected"), \
+                    req.finish_reason
+        finally:
+            sched.stop()
+        # pool fully recycled, rows free, nothing parked
+        assert sched._alloc.free_pages == sched._alloc.n_pages
+        assert all(s.request is None for s in sched._slots)
+        assert sched._queue.empty() and sched._head is None
