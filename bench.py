@@ -15,7 +15,7 @@ null.
 Env knobs:
   BLAMA_BENCH_PRESET   llama3-8b (default) | tinyllama-1.1b | debug-0.3b
   BLAMA_BENCH_DTYPE    q4k_fused (default for 8B) | bfloat16 | q4k_a8
-  BLAMA_BENCH_STEPS    decode steps to time (default 256)
+  BLAMA_BENCH_STEPS    decode steps to time (default 512)
   BLAMA_BENCH_PROMPT   prompt length (default 128)
   BLAMA_BENCH_FLASH    1 (default) = Pallas fused attention | 0 = XLA chain
   BLAMA_BENCH_KV       int8 (default; the north-star config) | bfloat16 | float32
@@ -220,7 +220,7 @@ def main() -> None:
     # per-step time by ~0.4 ms (trace-measured while body 7.86 ms vs 8.2 ms
     # benched). 256 steps amortizes it to <0.1 ms; still well inside the
     # 2048-slot window with the 128-token prompt.
-    n_steps = int(os.environ.get("BLAMA_BENCH_STEPS", "256"))
+    n_steps = int(os.environ.get("BLAMA_BENCH_STEPS", "512"))
     n_prompt = int(os.environ.get("BLAMA_BENCH_PROMPT", "128"))
     # 8B requires a quantized-weight mode (bf16 would need 16GB for weights
     # alone). q4k_a8 (SWAR int8-MXU, llama.cpp Q8_1-activation numerics) is

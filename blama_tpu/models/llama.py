@@ -313,6 +313,20 @@ class LlamaStatic:
     # dynamic-update-slices + quantize fusions + scale transposes (round-5
     # no-write probe: 126.7 -> 134.4 tok/s ceiling).
     attn_write: bool = False
+    # INT8-KV scales carried stacked TRANSPOSED [L, B, Hkv, S] across the
+    # fast loops (ops/generate_loop pre-transposes once at the loop
+    # boundary): the fused decode kernel indexes the layer's scale block in
+    # place instead of paying 2 slices + 2 swapaxes per layer per step
+    # (round-5 trace glue). XLA-write mode only (mutually exclusive with
+    # attn_write, which carries the same layout but writes in-kernel).
+    attn_scales_t: bool = False
+    # fresh-operand attention (INT8 KV, stacked unsharded): the fused decode
+    # kernel takes the just-projected K/V row as an operand and patches it
+    # in at the row's slot (exact quantize_kv numerics), so the XLA cache
+    # writes drop off the critical path — nothing in the step depends on
+    # them. Set by the fast loops with attn_scales_t (transposed scale
+    # carry). No aliased outputs, unlike attn_write.
+    attn_fresh: bool = False
     # device mesh (hashable) — enables the per-head shard_map island around
     # the fused decode kernel (decode_attention_sharded)
     mesh: object = None
@@ -663,23 +677,52 @@ def forward(
             if "cvec" in p:
                 x = x + p["cvec"]
             return x, k_all, v_all, ks_all, vs_all
+        scales_t = getattr(cfg, "attn_scales_t", False)
+        fresh = getattr(cfg, "attn_fresh", False) and ks_all is not None \
+            and _mesh is None
+        # fresh mode: attention reads the PRE-write cache + the fresh row as
+        # a kernel operand, so the writes below leave the critical path
+        k_pre, v_pre, ks_pre, vs_pre = k_all, v_all, ks_all, vs_all
         if _PROBE_NO_KVWRITE:
             pass  # perf bound probe: skip all cache writes (WRONG results)
         elif ks_all is not None:
             k_codes, k_sc = quantize_kv(k)
             v_codes, v_sc = quantize_kv(v)
-            k_all = k_all.at[li, barange, slots].set(
-                k_codes.reshape(B, T, Hkv * D), mode="drop")
-            v_all = v_all.at[li, barange, slots].set(
-                v_codes.reshape(B, T, Hkv * D), mode="drop")
-            ks_all = ks_all.at[li, barange, slots].set(k_sc, mode="drop")
-            vs_all = vs_all.at[li, barange, slots].set(v_sc, mode="drop")
+            if fresh:
+                # grouped carry [L, B, S/32, 32, Hkv*D]: pad slots (>= S)
+                # drop on the out-of-range group index
+                k_all = k_all.at[li, barange, slots // 32, slots % 32].set(
+                    k_codes.reshape(B, T, Hkv * D), mode="drop")
+                v_all = v_all.at[li, barange, slots // 32, slots % 32].set(
+                    v_codes.reshape(B, T, Hkv * D), mode="drop")
+            else:
+                k_all = k_all.at[li, barange, slots].set(
+                    k_codes.reshape(B, T, Hkv * D), mode="drop")
+                v_all = v_all.at[li, barange, slots].set(
+                    v_codes.reshape(B, T, Hkv * D), mode="drop")
+            if scales_t:
+                # transposed carry [L, B, Hkv, S]: advanced indices split by
+                # the head slice put the broadcast (b, t) dims first, so the
+                # update value is k_sc's own [B, T, Hkv] layout
+                ks_all = ks_all.at[li, barange, :, slots].set(
+                    k_sc, mode="drop")
+                vs_all = vs_all.at[li, barange, :, slots].set(
+                    v_sc, mode="drop")
+            else:
+                ks_all = ks_all.at[li, barange, slots].set(k_sc, mode="drop")
+                vs_all = vs_all.at[li, barange, slots].set(v_sc, mode="drop")
         else:
             k_all = k_all.at[li, barange, slots].set(
                 k.reshape(B, T, Hkv * D), mode="drop")
             v_all = v_all.at[li, barange, slots].set(
                 v.reshape(B, T, Hkv * D), mode="drop")
-        if _mesh is not None:
+        if fresh:
+            attn = dattn.decode_attention(
+                q, k_pre, v_pre, positions[:, 0], new_positions, inv_freq_e,
+                k_scale=ks_pre, v_scale=vs_pre, mscale=rope_mscale, layer=li,
+                scales_t=scales_t, k_new=k.reshape(B, Hkv * D),
+                v_new=v.reshape(B, Hkv * D), slot=slots.reshape(-1))
+        elif _mesh is not None:
             attn = dattn.decode_attention_sharded(
                 _mesh, q, k_all, v_all, positions[:, 0], new_positions,
                 inv_freq_e, k_scale=ks_all, v_scale=vs_all,
@@ -687,7 +730,8 @@ def forward(
         else:
             attn = dattn.decode_attention(
                 q, k_all, v_all, positions[:, 0], new_positions, inv_freq_e,
-                k_scale=ks_all, v_scale=vs_all, mscale=rope_mscale, layer=li)
+                k_scale=ks_all, v_scale=vs_all, mscale=rope_mscale, layer=li,
+                scales_t=scales_t)
         x = x + qmm_blocked(attn.reshape(B, T, H * D), p["wo"], tpb)
         ffn_nw = (norm_stack[2 * li + 1] if norm_stack is not None
                   else p["ffn_norm"])
@@ -814,7 +858,9 @@ def forward(
             # the loop removes it.
             L_ = k_all.shape[0]
             Scache = k_all.shape[2]
-            premerged = k_all.ndim == 4
+            # fresh-operand mode (set only by the fast loops): the carry is
+            # GROUPED [L, B, S/32, 32, Hkv*D] — already merged
+            premerged = k_all.ndim == 4 or getattr(cfg, "attn_fresh", False)
             if not premerged:
                 k_all = k_all.reshape(L_, -1, Scache, Hkv * D)
                 v_all = v_all.reshape(L_, -1, Scache, Hkv * D)

@@ -36,6 +36,18 @@ from .kv_cache import KVCache
 # (tests) for future rounds.
 _WRITE_IN_KERNEL = _os.environ.get("BLAMA_ATTN_WRITE", "0") == "1"
 
+# BLAMA_ATTN_FRESH=1: in the INT8-KV stacked unsharded fast loops, the fused
+# decode kernel takes the fresh K/V row as an OPERAND (patched into the
+# streamed block with exact quantize_kv numerics) instead of reading it back
+# from the just-written cache, re-routing the attention->write data
+# dependency without the write-mode kernel's aliasing. Bit-exact vs
+# write-then-read (tests). OFF by default: on hardware every variant LOST
+# (round-5 A/Bs at 8B — where-patch 120.6, group-patch 120.4, grouped carry
+# 111.8 vs 126.7 baseline); removing the dependency reclaims nothing (the
+# scheduler already hides the write latency) and the patch/layout overheads
+# are real. Kept as a tested probe for future XLA/Mosaic versions.
+_FRESH_OPERAND = _os.environ.get("BLAMA_ATTN_FRESH", "0") == "1"
+
 
 def _fused_merge(st, params, cache):
     """Pre-merge a stacked cache for the loop's in-place fused attention.
@@ -102,6 +114,34 @@ def _fused_merge(st, params, cache):
                 else jnp.swapaxes(cache.k_scale, 2, 3),
                 v_scale=None if cache.v_scale is None
                 else jnp.swapaxes(cache.v_scale, 2, 3)), ("write", Hkv, D)
+        if (cache.k_scale is not None
+                and getattr(st, "mesh", None) is None
+                and hasattr(st, "attn_scales_t")):
+            # INT8-KV XLA-write mode: carry the scales TRANSPOSED
+            # [L, B, Hkv, S] too, so the kernel indexes the layer's scale
+            # block in place instead of paying 2 slices + 2 swapaxes per
+            # layer per step (round-5 trace glue); callers flip
+            # st.attn_scales_t on this token. When the geometry admits it,
+            # upgrade to fresh-operand mode: attention takes the fresh K/V
+            # row as an operand and the cache writes leave the critical
+            # path entirely (st.attn_fresh).
+            if (_FRESH_OPERAND and hasattr(st, "attn_fresh")
+                    and dattn.fresh_supports(S, D, cache.k.dtype, B)):
+                # fresh carry is GROUPED [L, B, S/32, 32, Hkv*D] so the
+                # kernel's group-aligned patch store needs no in-loop
+                # reshape (which re-materialized the cache every step)
+                return dataclasses.replace(
+                    merged,
+                    k=merged.k.reshape(L, B, S // 32, 32, Hkv * D),
+                    v=merged.v.reshape(L, B, S // 32, 32, Hkv * D),
+                    k_scale=jnp.swapaxes(cache.k_scale, 2, 3),
+                    v_scale=jnp.swapaxes(cache.v_scale, 2, 3)), \
+                    ("fresh", Hkv, D)
+            return dataclasses.replace(
+                merged,
+                k_scale=jnp.swapaxes(cache.k_scale, 2, 3),
+                v_scale=jnp.swapaxes(cache.v_scale, 2, 3)), \
+                ("scalest", Hkv, D)
         return merged, (Hkv, D)
     return cache, None
 
@@ -132,6 +172,10 @@ def _st_for(st, hd):
 
     if hd is not None and hd[0] == "write":
         return dataclasses.replace(st, attn_write=True)
+    if hd is not None and hd[0] == "scalest":
+        return dataclasses.replace(st, attn_scales_t=True)
+    if hd is not None and hd[0] == "fresh":
+        return dataclasses.replace(st, attn_scales_t=True, attn_fresh=True)
     return st
 
 
@@ -140,9 +184,13 @@ def _fused_unmerge(cache, hd):
 
     if hd is None:
         return cache
-    if hd[0] == "write":
+    if hd[0] in ("write", "scalest", "fresh"):
         _, Hkv, D = hd
-        L, B, S, _ = cache.k.shape
+        if hd[0] == "fresh":
+            L, B, SG, _, _ = cache.k.shape
+            S = SG * 32
+        else:
+            L, B, S, _ = cache.k.shape
         return dataclasses.replace(
             cache, k=cache.k.reshape(L, B, S, Hkv, D),
             v=cache.v.reshape(L, B, S, Hkv, D),

@@ -119,16 +119,38 @@ def _decode_attn_kernel(
     scale: float,
     quantized: bool,
     stacked: bool = False,  # k/v refs carry a leading layer dim (see _call)
+    scales_stacked: bool = False,  # scale refs carry [1,1,Hkv,bs] (see _call)
+    fresh: bool = False,    # fresh-token K/V ride as operands (see _call)
 ):
+    rest = list(rest_refs)
     if quantized:
-        ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = rest_refs
-    else:
-        out_ref, acc_ref, m_ref, l_ref = rest_refs
+        ks_ref, vs_ref = rest[:2]
+        rest = rest[2:]
+    if fresh:
+        slot_ref, kn_ref, vn_ref = rest[:3]  # [B,1] SMEM, [1, Hkv*D] x2
+        rest = rest[3:]
+    out_ref, acc_ref, m_ref, l_ref = rest
     ns = pl.program_id(1)
     num_s = pl.num_programs(1)
     D = head_dim
+    Hkv = n_kv_head
+    if scales_stacked:
+        def shead(ref, h):
+            return ref[0, 0, h:h + 1, :]
+    else:
+        def shead(ref, h):
+            return ref[0, h:h + 1, :]
 
-    if stacked:
+    if fresh:
+        # fresh mode streams the cache through a 32-row-GROUP view
+        # [1, 1, BS/32, 32, Hkv*D] (the int8 (32, 128) native tile — same
+        # DMA as the flat view) so the fresh row can be PATCHED into the
+        # block with one group-aligned store (Mosaic forbids dynamic
+        # sublane-row stores; a full-block where cost ~0.3 ms/step)
+        def khead(ref, h):
+            bs_ = posc_ref.shape[0]
+            return ref[0, 0, :, :, h * D:(h + 1) * D].reshape(bs_, D)
+    elif stacked:
         # stacked refs are 4-D [1, 1, BS, Hkv*D] (the forward pass keeps the
         # stacked cache MERGED across the decode loop: a 5-D [.., Hkv, D]
         # int8 operand would tile (Hkv, D) as (32, 128) and pad the DMA 4x)
@@ -157,6 +179,63 @@ def _decode_attn_kernel(
     pos_row = posr_ref[0:1, :]                            # [1, BS]
     mask_row = (pos_row >= 0) & (pos_row <= qpos)         # [1, BS]
 
+    if fresh:
+        # fresh-token K/V patch-on-read (no cache aliasing): this step's
+        # attention takes the just-projected K/V row as an OPERAND and
+        # patches it into the streamed VMEM block at the row's slot with a
+        # 32-row group-aligned store (the write kernel's patch, minus its
+        # aliased writeback outputs), so the XLA cache writes drop off the
+        # critical path — nothing in this step reads them. Bit-identical
+        # to write-then-read: same quantize formula as
+        # ops/kv_cache.quantize_kv, codes round-trip through the store
+        # dtype, then the SAME full-block reads/dots as the base kernel.
+        bq = pl.program_id(0)
+        bs_f = posc_ref.shape[0]
+        slot = slot_ref[bq, 0]
+        S_total = bs_f * num_s
+        slot_c = jnp.minimum(slot, S_total - 1)
+        slot_local = slot - ns * bs_f
+        slot_local_c = slot_c - ns * bs_f
+        valid = slot < S_total
+        in_blk = (slot_local >= 0) & (slot_local < bs_f)
+        if quantized:
+            knf = kn_ref[0:1, :].astype(jnp.float32).reshape(Hkv, D)
+            vnf = vn_ref[0:1, :].astype(jnp.float32).reshape(Hkv, D)
+
+            def _q8(mat):
+                amax = jnp.max(jnp.abs(mat), axis=-1, keepdims=True)
+                sc = amax / 127.0
+                inv = jnp.where(sc > 0, 1.0 / jnp.where(sc > 0, sc, 1.0), 0.0)
+                return jnp.round(mat * inv), sc
+            kq_f, ksc_f = _q8(knf)
+            vq_f, vsc_f = _q8(vnf)
+        else:
+            kq_f = kn_ref[0:1, :].reshape(Hkv, D)
+            vq_f = vn_ref[0:1, :].reshape(Hkv, D)
+
+        @pl.when((slot_local_c >= 0) & (slot_local_c < bs_f))
+        def _patch():
+            grp = slot_local_c // 32
+            row32 = jax.lax.broadcasted_iota(jnp.int32, (32, Hkv * D), 0)
+            hit32 = (row32 == slot_c % 32) & valid
+            k_grp = jnp.where(
+                hit32, kq_f.reshape(1, Hkv * D).astype(k_ref.dtype),
+                k_ref[0, 0, pl.dslice(grp, 1), :, :].reshape(32, Hkv * D))
+            v_grp = jnp.where(
+                hit32, vq_f.reshape(1, Hkv * D).astype(v_ref.dtype),
+                v_ref[0, 0, pl.dslice(grp, 1), :, :].reshape(32, Hkv * D))
+            k_ref[0, 0, pl.dslice(grp, 1), :, :] = k_grp.reshape(
+                1, 32, Hkv * D)
+            v_ref[0, 0, pl.dslice(grp, 1), :, :] = v_grp.reshape(
+                1, 32, Hkv * D)
+        if quantized:
+            lane_hit = (jax.lax.broadcasted_iota(jnp.int32, (Hkv, bs), 1)
+                        == slot_local) & in_blk & valid
+            ks_blk = jnp.where(lane_hit, jnp.broadcast_to(ksc_f, (Hkv, bs)),
+                               ks_ref[0, 0])
+            vs_blk = jnp.where(lane_hit, jnp.broadcast_to(vsc_f, (Hkv, bs)),
+                               vs_ref[0, 0])
+
     for h in range(n_kv_head):
         r0, r1 = h * group, (h + 1) * group
         kf = khead(k_ref, h).astype(jnp.float32)                  # [BS, D]
@@ -167,7 +246,8 @@ def _decode_attn_kernel(
             preferred_element_type=jnp.float32,
         ) * scale                                                  # [g, BS]
         if quantized:
-            scores = scores * ks_ref[0, h:h + 1, :]               # fold K scale
+            scores = scores * (ks_blk[h:h + 1, :] if fresh
+                               else shead(ks_ref, h))             # fold K scale
         scores = jnp.where(mask_row, scores, NEG_INF)
 
         m_prev = m_ref[r0:r1, 0:1]
@@ -179,7 +259,8 @@ def _decode_attn_kernel(
         e = jnp.where(mask_row, e, 0.0)                           # all-masked block safety
         l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
         if quantized:
-            e = e * vs_ref[0, h:h + 1, :]                         # fold V scale
+            e = e * (vs_blk[h:h + 1, :] if fresh
+                     else shead(vs_ref, h))                       # fold V scale
         vf = khead(v_ref, h).astype(jnp.float32)                  # [BS, D]
         pv = jax.lax.dot_general(
             e, vf, (((1,), (0,)), ((), ())),
@@ -319,9 +400,10 @@ def supports(S: int, head_dim: int, k_dtype, batch: int = 1) -> bool:
     )
 
 
-@partial(jax.jit, static_argnames=("scale", "interpret", "layer"))
+@partial(jax.jit, static_argnames=("scale", "interpret", "layer", "scales_t"))
 def _call(q, k2, v2, kv_pos, q_pos, inv_freq_e, k_scale, v_scale,
-          scale: float, interpret: bool, layer: int | None = None):
+          scale: float, interpret: bool, layer: int | None = None,
+          scales_t: bool = False, k_new=None, v_new=None, slot=None):
     """layer != None: k2/v2 are the STACKED MERGED [L, B, S, Hkv*D] cache
     arrays (Hkv derived as shape[3] // D) in
     their NATIVE layout and the block specs index the layer directly — no
@@ -336,11 +418,25 @@ def _call(q, k2, v2, kv_pos, q_pos, inv_freq_e, k_scale, v_scale,
     2-D operand when D % 128 == 0. Models with smaller head dims keep the
     per-head-loop kernel."""
     B, H, D = q.shape
+    fresh = k_new is not None
     if layer is None:
         S = k2.shape[1]
         Hkv = k2.shape[2] // D
         kspec = lambda blk: pl.BlockSpec(
             (1, blk, Hkv * D), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM)
+    elif fresh:
+        # fresh mode: the caller carries the cache GROUPED
+        # [L, B, S/32, 32, Hkv*D] across the whole fast loop (an in-call
+        # reshape re-materialized the full cache every step — +0.33 ms at
+        # 8B, device trace) so the kernel can patch the fresh row with one
+        # group-aligned store; the (32, 128) group is the int8 native tile,
+        # so the streamed blocks' DMA is unchanged
+        S = k2.shape[2] * 32
+        Hkv = k2.shape[4] // D
+        kspec = lambda blk: pl.BlockSpec(
+            (1, 1, blk // 32, 32, Hkv * D),
+            lambda b, n, li=layer: (li, b, n, 0, 0),
+            memory_space=pltpu.VMEM)
     else:
         S = k2.shape[2]
         Hkv = k2.shape[3] // D
@@ -350,7 +446,7 @@ def _call(q, k2, v2, kv_pos, q_pos, inv_freq_e, k_scale, v_scale,
     # head-batched turned out SLOWER on hardware: collapsing (s, h) rows is
     # an in-VMEM lane->sublane relayout (~70 us/call), while the per-head
     # LANE SLICES of the merged block are free. Keep hb available for probes.
-    hb = D % 128 == 0 and _HB
+    hb = D % 128 == 0 and _HB and not scales_t and not fresh
     group = H // Hkv
     # head-batched f32 intermediates are [block_s*Hkv, D]; cap rows at 4K
     cap = max(128, 4096 // Hkv) if hb else _BLOCK_CAP
@@ -415,17 +511,48 @@ def _call(q, k2, v2, kv_pos, q_pos, inv_freq_e, k_scale, v_scale,
         args = [q, k2, v2, kv_pos.reshape(1, B * S), kv_pos.reshape(B * S, 1),
                 q_pos, inv_freq_e]
         if quantized:
+            if scales_t:
+                # fast-loop carry: scales ride the whole loop TRANSPOSED
+                # [L, B, Hkv, S] and the block specs index the layer in
+                # place — no per-layer [B, S, Hkv] slice + swapaxes copies
+                # (2 slices + 2 transposes per layer per step otherwise;
+                # round-5 trace glue)
+                assert layer is not None
+                in_specs += [
+                    pl.BlockSpec((1, 1, Hkv, block_s),
+                                 lambda b, n, li=layer: (li, b, 0, n),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, Hkv, block_s),
+                                 lambda b, n, li=layer: (li, b, 0, n),
+                                 memory_space=pltpu.VMEM),
+                ]
+                args += [k_scale, v_scale]
+            else:
+                in_specs += [
+                    pl.BlockSpec((1, Hkv, block_s), lambda b, n: (b, 0, n), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, Hkv, block_s), lambda b, n: (b, 0, n), memory_space=pltpu.VMEM),
+                ]
+                ksl = k_scale[layer] if layer is not None else k_scale
+                vsl = v_scale[layer] if layer is not None else v_scale
+                args += [jnp.swapaxes(ksl, 1, 2), jnp.swapaxes(vsl, 1, 2)]
+        if fresh:
+            # fresh-token K/V operands: slot rides whole-array SMEM like
+            # q_pos; the rows are one VMEM block per batch row
+            assert not quantized or scales_t, \
+                "fresh mode requires the transposed stacked scale carry"
             in_specs += [
-                pl.BlockSpec((1, Hkv, block_s), lambda b, n: (b, 0, n), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Hkv, block_s), lambda b, n: (b, 0, n), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, Hkv * D), lambda b, n: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv * D), lambda b, n: (b, 0),
+                             memory_space=pltpu.VMEM),
             ]
-            ksl = k_scale[layer] if layer is not None else k_scale
-            vsl = v_scale[layer] if layer is not None else v_scale
-            args += [jnp.swapaxes(ksl, 1, 2), jnp.swapaxes(vsl, 1, 2)]
+            args += [slot.reshape(B, 1), k_new, v_new]
         kernel = partial(
             _decode_attn_kernel,
             n_kv_head=Hkv, group=group, head_dim=D,
             scale=scale, quantized=quantized, stacked=layer is not None,
+            scales_stacked=scales_t, fresh=fresh,
         )
     return pl.pallas_call(
         kernel,
@@ -771,6 +898,18 @@ def write_supports(S: int, head_dim: int, k_dtype, batch: int = 1) -> bool:
     return bs is not None and bs % 32 == 0
 
 
+def fresh_supports(S: int, head_dim: int, k_dtype, batch: int = 1) -> bool:
+    """Whether the fresh-operand patch mode serves this geometry: the base
+    kernel's gate plus the 128-lane [1, Hkv*D] -> [Hkv, D] reshape the
+    in-kernel fresh row needs and the 32-row group view's tiling (same
+    constraints as write_supports — the patch is the write kernel's)."""
+    if not (supports(S, head_dim, k_dtype, batch) and head_dim % 128 == 0
+            and S % 32 == 0):
+        return False
+    bs = _pick_block_s(S, jnp.dtype(k_dtype).itemsize, batch)
+    return bs is not None and bs % 32 == 0
+
+
 def decode_attention(
     q: jnp.ndarray,          # [B, 1, H, D] rotated query (one decode token)
     k_cache: jnp.ndarray,    # [B, S, Hkv, D] unrotated (bf16/f32 or int8 codes)
@@ -783,6 +922,10 @@ def decode_attention(
     logit_scale: float | None = None,
     mscale: float = 1.0,
     layer: int | None = None,  # k/v_cache are stacked MERGED [L, B, S, Hkv*D]
+    scales_t: bool = False,    # scales are stacked TRANSPOSED [L, B, Hkv, S]
+    k_new: jnp.ndarray | None = None,  # [B, Hkv*D] fresh-token K (pre-write)
+    v_new: jnp.ndarray | None = None,
+    slot: jnp.ndarray | None = None,   # [B] int32 cache row of the fresh token
 ) -> jnp.ndarray:
     """Fused single-token attention; returns [B, 1, H, D] in q.dtype.
 
@@ -790,7 +933,10 @@ def decode_attention(
     the MERGED [L, B, S, Hkv*D] shape (the caller reshapes once per step —
     bitcast, not copy) and the kernel reads layer `layer` in place: no
     per-layer slice/set-back copies (a pallas operand can't alias an XLA
-    slice) and no per-layer relayouts. Scales stay [L, B, S, Hkv]."""
+    slice) and no per-layer relayouts. Scales stay [L, B, S, Hkv] unless
+    `scales_t`: then they ride stacked TRANSPOSED [L, B, Hkv, S] (the fast
+    loops pre-transpose once — ops/generate_loop._fused_merge) and the
+    kernel indexes the layer in place, like the cache."""
     B, T, H, D = q.shape
     assert T == 1, "decode_attention is the T==1 fast path"
     if layer is None:
@@ -807,7 +953,8 @@ def decode_attention(
         q_pos.reshape(B, 1), inv_freq_e.reshape(1, D), k_scale, v_scale,
         scale=float(scale),
         interpret=jax.default_backend() == "cpu",
-        layer=layer,
+        layer=layer, scales_t=scales_t,
+        k_new=k_new, v_new=v_new, slot=slot,
     )
     return out.reshape(B, 1, H, D)
 

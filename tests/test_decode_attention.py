@@ -471,3 +471,48 @@ def test_write_kernel_bitexact_vs_xla_write(tmp_path):
         assert fast == slow
         assert np.array_equal(ck_f, ck_s)
         assert cs_f is None or np.array_equal(cs_f, cs_s)
+
+
+def test_fresh_operand_mode_bitexact(tmp_path):
+    """Fresh-operand attention (BLAMA_ATTN_FRESH: the fused kernel takes the
+    just-projected K/V row as an operand and patches it at the row's slot,
+    taking the XLA cache writes off the critical path) must be bit-exact vs
+    the write-then-read fast loop AND the host per-token path: same tokens,
+    same top-10 logits, same final cache codes and scales."""
+    from blama_tpu.ops import generate_loop as gl
+
+    p = str(tmp_path / "fresh.gguf")
+    # head_dim 128 so fresh_supports passes (the in-kernel [1, Hkv*D] ->
+    # [Hkv, D] reshape needs 128 lanes)
+    write_tiny_llama(p, GGMLType.Q4_K,
+                     spec=dict(n_layer=2, n_embd=1024, n_ff=2048,
+                               n_head=8, n_head_kv=4))
+
+    def run(fast, fresh):
+        prev = gl._FRESH_OPERAND
+        gl._FRESH_OPERAND = fresh
+        try:
+            m = Model(p, ModelParams(dtype="q4k_a8", attn="fused"))
+            inst = Instance(m, InstanceInitParams(
+                ctx_size=256, kv_dtype="int8", flash_attn=True,
+                fast_greedy=fast))
+            s = inst.start_session(SessionInitParams(seed=5, temperature=0.0))
+            s.set_initial_prompt(
+                m.vocab.tokenize("hello world this is", True, True))
+            preds = s.complete(CompleteParams(max_tokens=8))
+            out = [(x.token, tuple((l.token, l.logit) for l in x.logits))
+                   for x in preds]
+            ck = np.asarray(inst.cache.k)
+            cs = np.asarray(inst.cache.k_scale)
+            inst.stop_session()
+            m.close()
+            return out, ck, cs
+        finally:
+            gl._FRESH_OPERAND = prev
+
+    fresh, ck_f, cs_f = run(True, fresh=True)
+    plain, ck_p, cs_p = run(True, fresh=False)
+    host, ck_h, cs_h = run(False, fresh=False)
+    assert fresh == plain == host
+    assert np.array_equal(ck_f, ck_p) and np.array_equal(ck_f, ck_h)
+    assert np.array_equal(cs_f, cs_p) and np.array_equal(cs_f, cs_h)
