@@ -27,6 +27,37 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _run_workers(argv_list, env, tmp_path, timeout=540):
+    """Spawn the worker processes with stdout+stderr redirected to FILES and
+    wait for all of them; returns [(returncode, log_tail)].
+
+    Never use subprocess.PIPE here: nothing drains the pipes while the
+    processes run, and XLA's cpu_aot_loader can emit >64 KB of warnings on
+    a warm persistent compile cache (machine-feature mismatch notes) —
+    enough to fill a pipe buffer and block a worker mid-write while its
+    peer waits on it in a distributed barrier (round-5 deadlock)."""
+    logs = [open(tmp_path / f"mh_worker{i}.log", "w+b")
+            for i in range(len(argv_list))]
+    procs = [subprocess.Popen(argv, env=env, stdout=logs[i],
+                              stderr=subprocess.STDOUT)
+             for i, argv in enumerate(argv_list)]
+    try:
+        for p in procs:
+            p.wait(timeout=timeout)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=20)
+    out = []
+    for i, p in enumerate(procs):
+        logs[i].flush()
+        logs[i].seek(0)
+        out.append((p.returncode, logs[i].read().decode()[-4000:]))
+        logs[i].close()
+    return out
+
+
 @pytest.fixture(scope="module")
 def gguf(tmp_path_factory):
     from blama_tpu.gguf import GGMLType
@@ -61,17 +92,12 @@ def test_two_process_serve_and_verify(gguf, tmp_path):
            "JAX_PLATFORMS": "cpu",
            "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
     worker = os.path.join(ROOT, "tests", "multihost_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), "2", str(port), gguf, out],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-        for i in range(2)
-    ]  # noqa: multihost worker args: proc nproc port gguf out [mode] [local]
-    outs = [p.communicate(timeout=540) for p in procs]
-    for p, (so, se) in zip(procs, outs):
-        assert p.returncode == 0, (
-            f"proc rc={p.returncode}\nstdout:\n{so.decode()[-2000:]}\n"
-            f"stderr:\n{se.decode()[-4000:]}")
+    # worker args: proc nproc port gguf out [mode] [local]
+    results = _run_workers(
+        [[sys.executable, worker, str(i), "2", str(port), gguf, out]
+         for i in range(2)], env, tmp_path)
+    for rc, tail in results:
+        assert rc == 0, f"proc rc={rc}\nlog:\n{tail}"
     with open(out) as f:
         result = json.load(f)
     assert result["n_processes"] == 2
@@ -93,18 +119,11 @@ def test_two_process_scheduler(gguf, tmp_path):
            "JAX_PLATFORMS": "cpu",
            "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
     worker = os.path.join(ROOT, "tests", "multihost_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), "2", str(port), gguf, out,
-             "sched"],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=540) for p in procs]
-    for p, (so, se) in zip(procs, outs):
-        assert p.returncode == 0, (
-            f"proc rc={p.returncode}\nstdout:\n{so.decode()[-2000:]}\n"
-            f"stderr:\n{se.decode()[-4000:]}")
+    results = _run_workers(
+        [[sys.executable, worker, str(i), "2", str(port), gguf, out, "sched"]
+         for i in range(2)], env, tmp_path)
+    for rc, tail in results:
+        assert rc == 0, f"proc rc={rc}\nlog:\n{tail}"
     with open(out) as f:
         result = json.load(f)
     assert result["n_processes"] == 2
@@ -189,18 +208,11 @@ def test_two_process_quantized_70b_shaped(tmp_path):
     env = {**os.environ, "PYTHONPATH": ROOT, "JAX_PLATFORMS": "cpu"}
     env.pop("XLA_FLAGS", None)
     worker = os.path.join(ROOT, "tests", "multihost_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), "2", str(port), gguf, out,
-             "quant", "2"],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=540) for p in procs]
-    for p, (so, se) in zip(procs, outs):
-        assert p.returncode == 0, (
-            f"proc rc={p.returncode}\nstdout:\n{so.decode()[-2000:]}\n"
-            f"stderr:\n{se.decode()[-4000:]}")
+    results = _run_workers(
+        [[sys.executable, worker, str(i), "2", str(port), gguf, out,
+          "quant", "2"] for i in range(2)], env, tmp_path)
+    for rc, tail in results:
+        assert rc == 0, f"proc rc={rc}\nlog:\n{tail}"
     with open(out) as f:
         result = json.load(f)
     assert result["score"] == 1.0
@@ -240,10 +252,16 @@ def test_two_process_http_serving(gguf, tmp_path):
                 "BLAMA_COORD": f"127.0.0.1:{port}", "BLAMA_NPROC": "2",
                 "BLAMA_PORT": str(http_port), "BLAMA_HOST": "127.0.0.1"}
     worker = os.path.join(ROOT, "tests", "http_multihost_worker.py")
+    # stdout/stderr go to FILES, not pipes: nobody drains a PIPE while the
+    # workers run, and XLA's cpu_aot_loader can emit >64 KB of warnings on
+    # a warm persistent cache (machine-feature mismatch notes) — enough to
+    # fill the pipe buffer and block the worker mid-write before the HTTP
+    # server ever comes up (round-5 flake root cause).
+    logs = [open(tmp_path / f"worker{i}.log", "w+b") for i in range(2)]
     procs = [
         subprocess.Popen([sys.executable, worker],
                          env={**env_base, "BLAMA_PROC_ID": str(i)},
-                         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+                         stdout=logs[i], stderr=subprocess.STDOUT)
         for i in range(2)
     ]
     try:
@@ -261,9 +279,15 @@ def test_two_process_http_serving(gguf, tmp_path):
                 break
             except Exception:
                 time.sleep(2.0)
-        assert resp is not None and len(resp["tokenData"]) > 0, [
-            (p.poll(), p.stderr.read().decode()[-1500:] if p.poll() is not None else "")
-            for p in procs]
+
+        def _tails():
+            out = []
+            for i, p in enumerate(procs):
+                logs[i].flush()
+                logs[i].seek(0)
+                out.append((p.poll(), logs[i].read().decode()[-1500:]))
+            return out
+        assert resp is not None and len(resp["tokenData"]) > 0, _tails()
         vreq = urllib.request.Request(
             f"http://127.0.0.1:{http_port}/verify_completion",
             _json.dumps({"request": {"prompt": "hello world",
@@ -279,3 +303,5 @@ def test_two_process_http_serving(gguf, tmp_path):
                 p.wait(timeout=20)
             except subprocess.TimeoutExpired:
                 p.kill()
+        for f in logs:
+            f.close()
