@@ -197,6 +197,14 @@ def load_llama_params(
                                 == w.n_out for w in ps))
 
             for p in layer_list:
+                if fuse_proj == "kv":
+                    # fuse ONLY k+v: the two narrow (E x Hkv*D) projections
+                    # are dispatch-ramp-bound (2.6 MB of packed bytes each
+                    # at 8B vs ~5 us kernel ramp); the full qkv fuse loses
+                    # to the wide operand's VMEM staging stalls (round-5)
+                    if _fusable([p["wk"], p["wv"]]):
+                        p["wkv"] = concat_quant([p.pop("wk"), p.pop("wv")])
+                    continue
                 if _fusable([p["wq"], p["wk"], p["wv"]]):
                     p["wqkv"] = concat_quant(
                         [p.pop("wq"), p.pop("wk"), p.pop("wv")])
@@ -495,6 +503,10 @@ def forward(
             # fused projection: one wide kernel dispatch, split after
             qkv = qmm_nblocked(h, p["wqkv"], tpb)
             q, k, v = jnp.split(qkv, [H * D, H * D + Hkv * D], axis=-1)
+        elif "wkv" in p:
+            # k+v fused only (the two ramp-bound narrow dispatches)
+            q = qmm_nblocked(h, p["wq"], tpb)
+            k, v = jnp.split(qmm_nblocked(h, p["wkv"], tpb), 2, axis=-1)
         else:
             q = qmm_nblocked(h, p["wq"], tpb)
             k = qmm_nblocked(h, p["wk"], tpb)
@@ -639,6 +651,9 @@ def forward(
         if "wqkv" in p:
             qkv = qmm_nblocked(h, p["wqkv"], tpb)
             q, k, v = jnp.split(qkv, [H * D, H * D + Hkv * D], axis=-1)
+        elif "wkv" in p:
+            q = qmm_nblocked(h, p["wq"], tpb)
+            k, v = jnp.split(qmm_nblocked(h, p["wkv"], tpb), 2, axis=-1)
         else:
             q = qmm_nblocked(h, p["wq"], tpb)
             k = qmm_nblocked(h, p["wk"], tpb)
@@ -764,6 +779,9 @@ def forward(
         if "wqkv" in p:
             qkv = qmm_nblocked(h, p["wqkv"], tpb)
             q, k, v = jnp.split(qkv, [H * D, H * D + Hkv * D], axis=-1)
+        elif "wkv" in p:
+            q = qmm_nblocked(h, p["wq"], tpb)
+            k, v = jnp.split(qmm_nblocked(h, p["wkv"], tpb), 2, axis=-1)
         else:
             q = qmm_nblocked(h, p["wq"], tpb)
             k = qmm_nblocked(h, p["wk"], tpb)

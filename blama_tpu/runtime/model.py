@@ -135,11 +135,21 @@ class Model:
                 # arithmetic
                 import os as _os
 
+                _fusable_cfg = (bool(fused) and self.params.mesh is None
+                                and self.config.tp_blocks == 0)
+                if _fusable_cfg and _os.environ.get(
+                        "BLAMA_FUSE_PROJ", "0") == "1":
+                    _fp = True
+                elif _fusable_cfg and _os.environ.get(
+                        "BLAMA_FUSE_KV", "0") == "1":
+                    # fuse only the two narrow k/v projections (see
+                    # load_llama_params) — A/B knob, default off
+                    _fp = "kv"
+                else:
+                    _fp = False
                 w = load_llama_params(
                     self.reader, self.config, dtype, fused_quant=fused,
-                    fuse_proj=bool(fused) and self.params.mesh is None
-                    and self.config.tp_blocks == 0
-                    and _os.environ.get("BLAMA_FUSE_PROJ", "0") == "1")
+                    fuse_proj=_fp)
         elif arch == "gpt2":
             from ..models.gpt2 import load_gpt2_params
 
